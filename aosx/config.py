@@ -1,0 +1,268 @@
+"""Configuration for the aosx TPU-native orchard exploration engine.
+
+Mirrors the reference parameter schema (reference: config/aos_planner_params.yaml:1-89
+and the per-node ``declare_parameter`` calls, e.g. src/aos_seed_gen_node.cpp:68-100),
+plus every magic constant that the reference hard-codes in source:
+
+- hard-coded exploration polygon    (src/aos_seed_gen_node.cpp:192-215)
+- exclusion discs                   (src/aos_seed_gen_node.cpp:483-499)
+- initial waypoint (8, 0)           (src/aos_path_gen_node.cpp:114-117)
+- docking radius 0.7 m              (src/aos_path_gen_node.cpp:249)
+- A* heuristic weight 3.0           (src/aos_path_gen_node.cpp:788,824)
+- virtual seed interval 1 m / conversion radius 4 m (src/aos_seed_gen_node.cpp:2666-2667)
+- seed merge distance 0.5 m         (src/aos_gvd_node.cpp:94)
+- ROR radius 0.2 m / min neighbors 2 (src/aos_seed_gen_node.cpp:236-239)
+
+Two kinds of configuration:
+
+``Statics``  — hashable, shape-determining constants (grid caps, buffer caps,
+               resolution). These are compile-time for jit/pallas.
+``AosParams`` — float/int runtime parameters; a pytree of scalars that can be
+               traced (and therefore vmapped / swept without recompiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+try:  # pyyaml is available in the image; gate anyway
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Static (compile-time) shape configuration
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class Statics:
+    """Hashable compile-time constants. TPU-friendly: grid dims padded so the
+    last dim is a multiple of 128 (lane) and the second-to-last a multiple of 8
+    (sublane for f32 / 32 for int8)."""
+
+    # Grid geometry (cells). The *caps*; the live region h_cells x w_cells is
+    # dynamic (traced) and always <= these.
+    grid_h: int = 576
+    grid_w: int = 1664
+    resolution: float = 0.05           # m / cell (grid_resolution)
+    inflation_radius: float = 0.8      # m (inflation_radius)
+
+    # Fixed-size buffers (padding caps)
+    max_points: int = 65536            # point-cloud buffer
+    max_poly: int = 8                  # polygon vertices
+    max_exclusions: int = 16           # exclusion discs
+    max_clusters: int = 64             # skeleton connected components kept
+    max_rows: int = 32                 # tree rows kept (post length filter)
+    max_seeds_per_row: int = 96        # virtual base seeds per row cap
+    max_seeds: int = 1024              # total Voronoi seed buffer
+    max_nodes: int = 1024              # GVD graph nodes
+    max_edges: int = 4096              # GVD graph edges
+    max_labels: int = 256              # (cluster,label)->node assignments cap
+    max_waypoints: int = 68            # 2/cluster + tail + origin
+    max_path: int = 256                # A* path nodes cap
+    max_plan: int = 4096               # densified 5 cm plan cap
+    astar_k: int = 5                   # candidate start nodes (k-nearest)
+    max_segments: int = 10             # linearization max segments (long dist)
+
+    # Iteration caps for fixpoint loops
+    skeleton_max_iters: int = 64       # Zhang-Suen outer iterations cap
+    ccl_max_iters: int = 32            # connected-components pointer jumping
+
+    def __post_init__(self):
+        object.__setattr__(self, "grid_h", _round_up(self.grid_h, 8))
+        object.__setattr__(self, "grid_w", _round_up(self.grid_w, 128))
+
+    @property
+    def inflation_cells(self) -> int:
+        # reference: int(inflation_radius / grid_resolution), C-truncation
+        # (src/aos_seed_gen_node.cpp:936)
+        return int(self.inflation_radius / self.resolution)
+
+
+# A small config for fast tests.
+TEST_STATICS = Statics(
+    grid_h=256,
+    grid_w=512,
+    resolution=0.05,
+    max_points=4096,
+    max_clusters=16,
+    max_rows=8,
+    max_seeds_per_row=48,
+    max_seeds=256,
+    max_nodes=256,
+    max_edges=1024,
+    max_labels=64,
+    max_waypoints=20,
+    max_path=64,
+    max_plan=2048,
+)
+
+# Benchmark config per BASELINE.md: 200x200 m @ 0.1 m -> 2000x2000 cells.
+BENCH_STATICS = Statics(
+    grid_h=2000,          # rounded to 2000 (already mult of 8)
+    grid_w=2048,
+    resolution=0.1,
+    max_points=131072,
+)
+
+
+# ---------------------------------------------------------------------------
+# Runtime parameters (traced pytree)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AosParams:
+    """Runtime scalar parameters; one-to-one with the reference's ROS params +
+    hard-coded constants. All fields are 0-d arrays / python scalars so the
+    whole struct is a pytree and can be vmapped."""
+
+    # aos_seed_gen_node (config/aos_planner_params.yaml:55-79)
+    clipping_minz: Any = -0.4
+    clipping_maxz: Any = 0.5
+    clipping_minx: Any = -5.0
+    clipping_maxx: Any = 72.0
+    clipping_miny: Any = -10.0
+    clipping_maxy: Any = 20.0
+    cluster_min_length: Any = 2.0
+    # ROR (src/aos_seed_gen_node.cpp:236-239)
+    ror_radius: Any = 0.2
+    ror_min_neighbors: Any = 2
+    # polygon margin (src/aos_seed_gen_node.cpp:779,879)
+    polygon_margin: Any = 2.5
+    # virtual seeds (src/aos_seed_gen_node.cpp:2666-2667,2093)
+    virtual_seed_interval: Any = 1.0
+    seed_dedupe_dist: Any = 0.5
+    seed_raycast_max: Any = 4.0
+    seed_raycast_min: Any = 1.0
+    # gvd node
+    seed_merge_dist: Any = 0.5          # src/aos_gvd_node.cpp:94
+    proximity_edge_dist: Any = 0.5      # src/aos_gvd_node.cpp:862
+    label_search_min_dist: Any = 0.5    # src/aos_gvd_node.cpp:494
+    label_search_radius0: Any = 5.0     # src/aos_gvd_node.cpp:495,721
+    label_match_tolerance: Any = 0.1    # src/aos_gvd_node.cpp:918
+    # path gen
+    initial_waypoint_x: Any = 8.0       # src/aos_path_gen_node.cpp:115
+    initial_waypoint_y: Any = 0.0
+    initial_arrive_dist: Any = 1.0      # src/aos_path_gen_node.cpp:208
+    docking_radius: Any = 0.7           # src/aos_path_gen_node.cpp:249
+    heuristic_weight: Any = 3.0         # src/aos_path_gen_node.cpp:824
+    min_waypoint_distance: Any = 0.2    # src/aos_path_gen_node.cpp:665
+    path_step: Any = 0.2                # src/aos_path_gen_node.cpp:993
+    trim_safety_distance: Any = 0.2     # src/aos_path_gen_node.cpp:1575
+    # linearization (src/aos_path_linearization_node.cpp)
+    linearize_spacing: Any = 0.05
+    linearize_max_dev: Any = 0.1
+    # state machine (src/aos_state_machine_node.cpp:120-127)
+    sm_precise_dist: Any = 0.05
+    sm_precise_yaw: Any = 0.0524
+    sm_semi_dist: Any = 0.1
+    sm_semi_yaw: Any = 0.0873
+    sm_approach_dist: Any = 0.5
+    sm_skipping_hz: Any = 5
+    # gps_to_utm (src/gps_to_utm_node.cpp:59-67)
+    utm_zone: Any = 52
+    gps_offset_x: Any = -0.65
+    gps_offset_y: Any = 0.55
+
+
+# The reference's hard-coded demo polygon (src/aos_seed_gen_node.cpp:196-199).
+HARDCODED_POLYGON = np.array(
+    [
+        [-1.972916603088379, 7.9420671463012695],
+        [-2.0726776123046875, 0.022441387176513672],
+        [70.22465515136719, 2.102720260620117],
+        [69.48777770996094, 9.786612510681152],
+    ],
+    dtype=np.float64,
+)
+
+# Hard-coded exclusion discs (x, y, radius) (src/aos_seed_gen_node.cpp:487-499).
+EXCLUSION_DISCS = np.array(
+    [
+        [0.646417, 3.83918, 1.0],
+        [2.0405, 3.62485, 1.0],
+        [65.3711, 2.09755, 1.0],
+        [66.9094, 2.07515, 1.0],
+        [-1.61309, 5.69933, 1.0],
+        [-1.97349, 4.77329, 1.0],
+        [-2.11365, 3.74464, 1.0],
+        [-2.26381, 2.70848, 1.0],
+        [-2.66426, 1.72738, 1.0],
+        [68.0229, 2.31687, 1.0],
+        [65.4647, 2.18653, 1.0],
+    ],
+    dtype=np.float64,
+)
+
+
+# Map from YAML keys to AosParams fields (same names where they exist).
+_YAML_TO_FIELD = {
+    "clipping_minz": "clipping_minz",
+    "clipping_maxz": "clipping_maxz",
+    "clipping_minx": "clipping_minx",
+    "clipping_maxx": "clipping_maxx",
+    "clipping_miny": "clipping_miny",
+    "clipping_maxy": "clipping_maxy",
+    "cluster_min_length": "cluster_min_length",
+}
+_YAML_TO_STATIC = {
+    "grid_resolution": "resolution",
+    "inflation_radius": "inflation_radius",
+}
+
+
+def load_yaml(path: str, node: str = "aos_seed_gen_node"):
+    """Load the reference's aos_planner_params.yaml schema (global ``/**``
+    section plus per-node overrides; reference: config/aos_planner_params.yaml:1-89).
+
+    Returns (params: AosParams, static_overrides: dict) — resolution and
+    inflation radius are shape-determining, so they are returned separately
+    for the caller to fold into a Statics.
+    """
+    if not _HAVE_YAML:  # pragma: no cover
+        raise RuntimeError("pyyaml unavailable")
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    merged: dict = {}
+    glob = doc.get("/**", {}).get("ros__parameters", {})
+    merged.update(glob)
+    node_sec = doc.get(f"/{node}", {}).get("ros__parameters", {})
+    merged.update(node_sec)
+
+    kwargs = {}
+    for yk, fk in _YAML_TO_FIELD.items():
+        if yk in merged:
+            kwargs[fk] = float(merged[yk])
+    statics = {}
+    for yk, fk in _YAML_TO_STATIC.items():
+        if yk in merged:
+            statics[fk] = float(merged[yk])
+    return AosParams(**kwargs), statics
+
+
+def params_as_f32(p: AosParams) -> AosParams:
+    """Convert every numeric leaf to a jnp scalar (f32 for floats)."""
+
+    def conv(x):
+        if isinstance(x, (int, np.integer)):
+            return jnp.int32(x)
+        return jnp.float32(x)
+
+    return jax.tree_util.tree_map(conv, p)
