@@ -95,7 +95,7 @@ class Statics:
 
 # A small config for fast tests.
 TEST_STATICS = Statics(
-    grid_h=256,
+    grid_h=384,
     grid_w=512,
     resolution=0.05,
     max_points=4096,

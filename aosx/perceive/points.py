@@ -1,0 +1,99 @@
+"""Point-cloud preprocessing (C2): radius outlier removal + clipping +
+exclusion discs, as fixed-shape masks (reference: aos_seed_gen_node.cpp:230-538).
+
+TPU mapping: ROR is the FLOP-heavy part (O(N^2) neighbor counting). Two paths:
+- 'mxu'  : blocked ||x||^2 + ||y||^2 - 2 x.y via jnp.dot (MXU, HIGHEST
+           precision) — the fast path for large N.
+- 'exact': blocked elementwise (xi-xj)^2 sums in f32 — bit-matches the f32
+           oracle; used for parity tests and small N.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AosParams, Statics
+from ..geom import active_bounds, point_in_polygon
+from ..types import PointCloud, Polygon
+
+
+def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = 2048):
+    """Number of OTHER valid points within `radius` (3D), per point."""
+    n = xyz.shape[0]
+    big = jnp.float32(1e9)
+    # park invalid points far away (each gets a distinct parking spot so they
+    # never count each other either)
+    park = big + jnp.arange(n, dtype=jnp.float32)[:, None] * 1e3
+    pts = jnp.where(valid[:, None], xyz, park)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    nblk = (n + block - 1) // block
+    pad = nblk * block - n
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=-1e9)
+
+    if method == "mxu":
+        sq = jnp.sum(pts_p * pts_p, axis=1)  # [Np]
+
+        def body(carry, j):
+            cnt = carry
+            cols = jax.lax.dynamic_slice(pts_p, (j * block, 0), (block, 3))
+            cols_sq = jax.lax.dynamic_slice(sq, (j * block,), (block,))
+            dots = jnp.dot(
+                pts_p, cols.T, precision=jax.lax.Precision.HIGHEST
+            )  # [Np, B]
+            d2 = sq[:, None] + cols_sq[None, :] - 2.0 * dots
+            cnt = cnt + jnp.sum(d2 <= r2, axis=1)
+            return cnt, None
+
+        cnt, _ = jax.lax.scan(body, jnp.zeros((nblk * block,), jnp.int32), jnp.arange(nblk))
+    else:
+
+        def body(carry, j):
+            cnt = carry
+            cols = jax.lax.dynamic_slice(pts_p, (j * block, 0), (block, 3))
+            diff = pts_p[:, None, :] - cols[None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            cnt = cnt + jnp.sum(d2 <= r2, axis=1)
+            return cnt, None
+
+        cnt, _ = jax.lax.scan(body, jnp.zeros((nblk * block,), jnp.int32), jnp.arange(nblk))
+
+    return cnt[:n] - 1  # exclude self (d2 == 0 with itself always counted)
+
+
+def preprocess(
+    pc: PointCloud,
+    poly: Polygon,
+    params: AosParams,
+    exclusions,  # [E,3] (x, y, r); rows with r <= 0 are inactive
+    s: Statics,
+    *,
+    ror_method: str = "exact",
+):
+    """Full preprocessing: returns (xy [N,2], keep-mask [N], bounds tuple).
+
+    Steps (aos_seed_gen_node.cpp:230-538): ROR (r=0.2, >=2 neighbors), then
+    PassThrough z / x / y against the active bounds, exclusion discs
+    (d^2 <= r^2 removed), flatten to xy.
+    """
+    xyz, valid = pc.xyz, pc.valid
+    cnt = ror_counts(xyz, valid, params.ror_radius, method=ror_method)
+    keep = valid & (cnt >= params.ror_min_neighbors)
+
+    bounds = active_bounds(
+        poly,
+        (params.clipping_minx, params.clipping_maxx, params.clipping_miny, params.clipping_maxy),
+        params.polygon_margin,
+    )
+    minx, maxx, miny, maxy = bounds
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    keep &= (z >= params.clipping_minz) & (z <= params.clipping_maxz)
+    keep &= (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+
+    ex = jnp.asarray(exclusions, jnp.float32)
+    d2 = (x[:, None] - ex[None, :, 0]) ** 2 + (y[:, None] - ex[None, :, 1]) ** 2
+    inside_excl = jnp.any((d2 <= ex[None, :, 2] ** 2) & (ex[None, :, 2] > 0), axis=1)
+    keep &= ~inside_excl
+
+    return xyz[:, :2], keep, bounds
