@@ -66,6 +66,7 @@ class Statics:
     max_poly: int = 8                  # polygon vertices
     max_exclusions: int = 16           # exclusion discs
     max_clusters: int = 64             # skeleton connected components kept
+    max_skel_cells: int = 16384        # compacted skeleton-cell buffer
     max_rows: int = 32                 # tree rows kept (post length filter)
     max_seeds_per_row: int = 96        # virtual base seeds per row cap
     max_seeds: int = 1024              # total Voronoi seed buffer
@@ -100,6 +101,7 @@ TEST_STATICS = Statics(
     resolution=0.05,
     max_points=4096,
     max_clusters=16,
+    max_skel_cells=2048,
     max_rows=8,
     max_seeds_per_row=48,
     max_seeds=256,

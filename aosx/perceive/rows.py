@@ -1,0 +1,279 @@
+"""Skeleton clustering + tree-row fitting (C5)
+(reference: aos_seed_gen_node.cpp:970-1512).
+
+TPU mapping:
+- The skeleton is sparse (<< 1% of cells), so connected components run on a
+  COMPACTED cell list (raster-order scatter compaction), not the dense grid:
+  a Shiloach-Vishkin style hook + full path compression union-find over a
+  [MAX_SKEL, 8] neighbor table. Gathers touch 16k elements instead of 4M grid
+  cells, and convergence is O(log n) outer rounds (plain min-neighbor
+  propagation is linear on zigzag chains - measured, not guessed).
+- Cluster ordering: component root = min compact index = first cell in raster
+  order == the reference's BFS discovery order (the C++ scans y-major and
+  starts BFS at the first unvisited cell), so compacted cluster ids match.
+- per-cluster stats: segment reductions over the cell list.
+- exact max-pairwise length (cpp:1062-1074): blocked pairwise distances with
+  a same-cluster mask + segment max. Exact, like the reference (not 2-sweep).
+- endpoints (cpp:1354-1402): farthest-from-centroid, then farthest in the
+  opposite half-space; ties broken by lowest cell index (the reference breaks
+  ties by BFS order; documented deviation, measure-zero on real data).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AosParams, Statics
+from ..geom import point_in_polygon
+from ..types import GridWorld, Polygon, TreeRows
+from .raster import live_mask
+
+_NEIGH = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def compact_cells(mask, s: Statics):
+    """Scatter-compact True cells of mask [H,W] into raster order.
+
+    Returns (cell_flat [M] i32 flat index or -1, cell_ok [M] bool,
+    inv [H*W+1] i32 mapping flat index -> compact index (M if not a cell)).
+    """
+    h, w = mask.shape
+    M = s.max_skel_cells
+    flat = mask.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < M), pos, M)
+    cell_flat = (
+        jnp.full((M + 1,), -1, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(h * w, dtype=jnp.int32), mode="drop")[:M]
+    )
+    cell_ok = cell_flat >= 0
+    inv_tgt = jnp.where(cell_ok, cell_flat, h * w)
+    inv = (
+        jnp.full((h * w + 1,), M, jnp.int32)
+        .at[inv_tgt]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+    )
+    inv = inv.at[h * w].set(M)
+    return cell_flat, cell_ok, inv
+
+
+def neighbor_table(cell_flat, cell_ok, inv, h: int, w: int):
+    """[M,8] compact indices of 8-neighbors (M = none)."""
+    M = cell_flat.shape[0]
+    safe = jnp.maximum(cell_flat, 0)
+    cy = safe // w
+    cx = safe % w
+    cols = []
+    for dy, dx in _NEIGH:
+        ny, nx = cy + dy, cx + dx
+        ok = cell_ok & (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+        nflat = jnp.where(ok, ny * w + nx, h * w)
+        cols.append(inv[nflat])
+    return jnp.stack(cols, axis=1)
+
+
+def union_find_labels(nbrs, s: Statics):
+    """Connected-component labels on the compact cell list.
+    Returns L [M] i32: per-cell root compact index (root = min index)."""
+    M = nbrs.shape[0]
+    L0 = jnp.arange(M, dtype=jnp.int32)
+
+    def compress(L):
+        def cbody(state):
+            Lc, changed = state
+            Ln = jnp.minimum(Lc, Lc[Lc])
+            return Ln, jnp.any(Ln != Lc)
+
+        L, _ = jax.lax.while_loop(lambda st: st[1], cbody, (L, jnp.bool_(True)))
+        return L
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < s.ccl_max_iters)
+
+    def body(state):
+        L, _, it = state
+        Lext = jnp.concatenate([L, jnp.array([M], jnp.int32)])
+        nbmin = jnp.min(Lext[nbrs], axis=1)  # [M]; "no neighbor" yields M >= L
+        nbmin = jnp.minimum(nbmin, L)
+        # hook: scatter-min each cell's best candidate onto its ROOT
+        # (writing to the cell itself would merge only 1 step per round)
+        L1 = L.at[L].min(nbmin)
+        L1 = compress(L1)
+        return L1, jnp.any(L1 != L), it + 1
+
+    L, _, _ = jax.lax.while_loop(cond, body, (L0, jnp.bool_(True), jnp.int32(0)))
+    return L
+
+
+def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
+    """clusterOccupiedCells (cpp:970-1083): components of occupied & in-polygon
+    cells. Returns padded cluster arrays (grid-unit centers, exact lengths in
+    meters, sizes) ordered like the reference, plus the compacted cell list."""
+    h, w = skel.occ.shape
+    res = jnp.float32(s.resolution)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    wx = skel.origin_x + ix.astype(jnp.float32) * res
+    wy = skel.origin_y + iy.astype(jnp.float32) * res
+    has_poly = poly.count >= 3
+    inp = point_in_polygon(wx, wy, poly)
+    mask = (skel.occ == 1) & live_mask(skel) & jnp.where(has_poly, inp, True)
+
+    cell_flat, cell_ok, inv = compact_cells(mask, s)
+    M = cell_flat.shape[0]
+    nbrs = neighbor_table(cell_flat, cell_ok, inv, h, w)
+    L = union_find_labels(nbrs, s)
+
+    # cluster ids: rank of root among roots (raster == discovery order)
+    is_root = cell_ok & (L == jnp.arange(M))
+    rank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    n_clusters = jnp.sum(is_root.astype(jnp.int32))
+    root_rank = jnp.where(is_root, rank, 0)
+    cid = jnp.where(cell_ok, root_rank[L], -1)  # [M] in [0..K) or -1
+
+    K = s.max_clusters
+    seg = jnp.where((cid >= 0) & (cid < K), cid, K)
+    safe = jnp.maximum(cell_flat, 0)
+    cell_x = jnp.where(cell_ok, (safe % w).astype(jnp.float32), 0.0)
+    cell_y = jnp.where(cell_ok, (safe // w).astype(jnp.float32), 0.0)
+
+    ones = jnp.where(cell_ok, 1.0, 0.0)
+    count = jax.ops.segment_sum(ones, seg, num_segments=K + 1)[:K]
+    sum_x = jax.ops.segment_sum(cell_x, seg, num_segments=K + 1)[:K]
+    sum_y = jax.ops.segment_sum(cell_y, seg, num_segments=K + 1)[:K]
+    valid = (jnp.arange(K) < jnp.minimum(n_clusters, K)) & (count > 0)
+    center_x = jnp.where(count > 0, sum_x / jnp.maximum(count, 1), 0.0)
+    center_y = jnp.where(count > 0, sum_y / jnp.maximum(count, 1), 0.0)
+
+    # blocked exact max pairwise distance per cluster
+    B = min(512, M)
+    nblk = M // B
+    cxp = jnp.where(cell_ok, cell_x, 1e9)
+    cyp = jnp.where(cell_ok, cell_y, -1e9)
+    cell_cid = jnp.where(cell_ok, jnp.minimum(seg, K), K)
+
+    def blk(carry, i):
+        best = carry  # [K+1]
+        x0 = jax.lax.dynamic_slice(cxp, (i * B,), (B,))
+        y0 = jax.lax.dynamic_slice(cyp, (i * B,), (B,))
+        c0 = jax.lax.dynamic_slice(cell_cid, (i * B,), (B,))
+        d2 = (x0[:, None] - cxp[None, :]) ** 2 + (y0[:, None] - cyp[None, :]) ** 2
+        same = c0[:, None] == cell_cid[None, :]
+        d2 = jnp.where(same, d2, -1.0)
+        row_max = jnp.max(d2, axis=1)
+        best = jnp.maximum(best, jax.ops.segment_max(row_max, c0, num_segments=K + 1))
+        return best, None
+
+    best, _ = jax.lax.scan(blk, jnp.full((K + 1,), -1.0), jnp.arange(nblk))
+    length = jnp.where(valid, jnp.sqrt(jnp.maximum(best[:K], 0.0)) * res, 0.0)
+
+    return dict(
+        count=count,
+        center_x=center_x,
+        center_y=center_y,
+        length=length,
+        valid=valid,
+        n_clusters=n_clusters,
+        cell_x=cell_x,
+        cell_y=cell_y,
+        cell_cid=cell_cid,
+        cell_ok=cell_ok,
+    )
+
+
+def rows_from_clusters(
+    clusters: dict, skel: GridWorld, poly: Polygon, params: AosParams, s: Statics
+) -> TreeRows:
+    """Length filter (cpp:1262-1270) + convertClustersToTreeRows
+    (cpp:1309-1512). Rows keep the cluster order (NOT sorted); sorting for
+    /exploration_tree_rows_info happens in sort_rows()."""
+    K = s.max_clusters
+    res = jnp.float32(s.resolution)
+    center_wx = skel.origin_x + clusters["center_x"] * res
+    center_wy = skel.origin_y + clusters["center_y"] * res
+    has_poly = poly.count >= 3
+    in_poly = point_in_polygon(center_wx, center_wy, poly)
+    keep = (
+        clusters["valid"]
+        & (clusters["length"] >= params.cluster_min_length)
+        & jnp.where(has_poly, in_poly, True)
+    )
+
+    cwx = skel.origin_x + clusters["cell_x"] * res     # [M]
+    cwy = skel.origin_y + clusters["cell_y"] * res
+    ccid = clusters["cell_cid"]                        # [M] in [0..K]
+    M = cwx.shape[0]
+    cidc = jnp.minimum(ccid, K - 1)
+
+    dx = cwx - center_wx[cidc]
+    dy = cwy - center_wy[cidc]
+    d2 = dx * dx + dy * dy
+    d2m = jnp.where(ccid < K, d2, -1.0)
+
+    def seg_argmax(vals, segs, num):
+        """argmax per segment, lowest index on ties; M when segment empty."""
+        maxv = jax.ops.segment_max(vals, segs, num_segments=num)
+        is_max = (vals == maxv[segs]) & (vals > -0.5)
+        idxs = jnp.where(is_max, jnp.arange(vals.shape[0]), M)
+        arg = jax.ops.segment_min(idxs, segs, num_segments=num)
+        return maxv, arg
+
+    segs = jnp.minimum(ccid, K)
+    max_d2, arg1 = seg_argmax(d2m, segs, K + 1)
+    arg1 = jnp.minimum(arg1[:K], M - 1)
+    ep1x, ep1y = cwx[arg1], cwy[arg1]                   # [K]
+    n1 = jnp.sqrt(jnp.maximum(max_d2[:K], 1e-30))
+    f_dirx = (ep1x - center_wx) / n1
+    f_diry = (ep1y - center_wy) / n1
+
+    nrm = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    dot = (dx / nrm) * f_dirx[cidc] + (dy / nrm) * f_diry[cidc]
+    not_first = jnp.arange(M) != arg1[cidc]
+    opp_ok = (dot < 0.0) & not_first & (ccid < K) & (d2 > 0)
+    d2_opp = jnp.where(opp_ok, d2, -1.0)
+    max_opp, arg2a = seg_argmax(d2_opp, segs, K + 1)
+    # fallback: farthest from ep1 (cpp:1388-1399)
+    fdx = cwx - ep1x[cidc]
+    fdy = cwy - ep1y[cidc]
+    fd2 = jnp.where(not_first & (ccid < K), fdx * fdx + fdy * fdy, -1.0)
+    _, arg2b = seg_argmax(fd2, segs, K + 1)
+    use_fallback = max_opp[:K] <= 0.0
+    arg2 = jnp.where(use_fallback, arg2b[:K], arg2a[:K])
+    arg2 = jnp.minimum(arg2, M - 1)
+    ep2x, ep2y = cwx[arg2], cwy[arg2]
+
+    R = s.max_rows
+    kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_rows = jnp.sum(keep.astype(jnp.int32))
+    tgt = jnp.where(keep & (kept_rank < R), kept_rank, R)
+
+    def compact(vals, fill=0.0):
+        out = jnp.full((R + 1,), fill, vals.dtype)
+        return out.at[tgt].set(vals, mode="drop")[:R]
+
+    return TreeRows(
+        center=jnp.stack([compact(center_wx), compact(center_wy)], -1),
+        ep1=jnp.stack([compact(ep1x), compact(ep1y)], -1),
+        ep2=jnp.stack([compact(ep2x), compact(ep2y)], -1),
+        length=compact(clusters["length"]),
+        valid=jnp.arange(R) < jnp.minimum(n_rows, R),
+    )
+
+
+def sort_rows(rows: TreeRows) -> TreeRows:
+    """Sort by center y (x tie-break within 1e-6; cpp:2552-2560)."""
+    big = jnp.float32(1e9)
+    key_y = jnp.where(rows.valid, rows.center[:, 1], big)
+    key_x = jnp.where(rows.valid, rows.center[:, 0], big)
+    # the reference comparator treats |dy| < 1e-6 as equal; quantize y
+    order = jnp.lexsort((key_x, jnp.round(key_y * 1e6)))
+    return TreeRows(
+        center=rows.center[order],
+        ep1=rows.ep1[order],
+        ep2=rows.ep2[order],
+        length=rows.length[order],
+        valid=rows.valid[order],
+    )
