@@ -79,6 +79,11 @@ class Statics:
     astar_k: int = 5                   # candidate start nodes (k-nearest)
     max_segments: int = 10             # linearization max segments (long dist)
 
+    # Static raycast reach for virtual-seed rays (shape-determining:
+    # sets the fori_loop trip count; reference hardcodes 4.0 m,
+    # aos_seed_gen_node.cpp:2093)
+    seed_raycast_max: float = 4.0
+
     # Iteration caps for fixpoint loops
     skeleton_max_iters: int = 64       # Zhang-Suen outer iterations cap
     ccl_max_iters: int = 32            # connected-components pointer jumping

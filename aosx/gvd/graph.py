@@ -1,0 +1,456 @@
+"""GVD graph builder (C8) - the jitted equivalent of aos_gvd_node.cpp.
+
+Stages (reference lines cited per function):
+ 1. greedy 0.5 m seed merge                      (aos_gvd_node.cpp:84-128)
+ 2. jump-flood nearest-seed field                 (replaces Subdiv2D facets)
+ 3. Voronoi vertices: >=3 distinct owners around a cell corner, plus border
+    vertices where ownership changes along the live border (the reference's
+    facet vertices after its outside-grid filter, cpp:420-483)
+ 4. ridge edges: vertices sharing a seed-pair ridge, connected consecutively
+    along the ridge tangent (sort by (pair key, tangent projection))
+ 5. occupied-crossing filter, sampled at res/2    (cpp:320-359)
+ 6. proximity edges <= 0.5 m                      (cpp:861-894)
+ 7. TL/TR/BL/BR labels: expanding-radius quarter-plane search + castRay
+    fallback                                      (cpp:485-790)
+ 8. GvdGraph assembly with bitmask labels + per-(cluster,label) node table
+                                                  (cpp:897-1010)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AosParams, Statics
+from ..types import GridWorld, GvdGraph, SeedSet, TreeRows
+from .voronoi import jump_flood
+
+
+# ---------------------------------------------------------------------------
+# 1. seed merge
+# ---------------------------------------------------------------------------
+
+
+def merge_seeds(seeds: SeedSet, params: AosParams, s: Statics) -> SeedSet:
+    """Greedy order-dependent merge (cpp:84-128): seed i is a representative
+    iff no earlier representative lies within merge_distance (<=); every
+    non-representative is absorbed by its EARLIEST representative; the output
+    is the member centroid, in representative order. Computed with the same
+    parallel-frontier scheme as perceive.seeds.greedy_dedupe (d <= t here)."""
+    S = seeds.xy.shape[0]
+    xy = jnp.where(seeds.valid[:, None], seeds.xy, 1e9 + jnp.arange(S, dtype=jnp.float32)[:, None] * 1e3)
+    t = jnp.asarray(params.seed_merge_dist, jnp.float32)
+    idx = jnp.arange(S)
+    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)  # [S,S]
+    conflict = (d2 <= t * t) & (idx[None, :] < idx[:, None])       # j < i within t
+
+    def cond(state):
+        rep, absorbed, it = state
+        return jnp.any(seeds.valid & ~rep & ~absorbed) & (it < S)
+
+    def body(state):
+        rep, absorbed, it = state
+        undecided = seeds.valid & ~rep & ~absorbed
+        conf_rep = jnp.any(conflict & rep[None, :], axis=1)
+        conf_und = jnp.any(conflict & undecided[None, :], axis=1)
+        newly_abs = undecided & conf_rep
+        newly_rep = undecided & ~conf_rep & ~conf_und
+        return rep | newly_rep, absorbed | newly_abs, it + 1
+
+    rep, absorbed, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(S, bool), jnp.zeros(S, bool), jnp.int32(0))
+    )
+    # absorber = earliest representative within t
+    within = (d2 <= t * t) & rep[None, :] & (idx[None, :] < idx[:, None])
+    absorber = jnp.min(jnp.where(within, idx[None, :], S), axis=1)
+    owner = jnp.where(rep, idx, jnp.where(absorbed, absorber, S))
+    sum_xy = jax.ops.segment_sum(
+        jnp.where(seeds.valid[:, None], seeds.xy, 0.0), owner, num_segments=S + 1
+    )[:S]
+    cnt = jax.ops.segment_sum(seeds.valid.astype(jnp.float32), owner, num_segments=S + 1)[:S]
+    centroid = sum_xy / jnp.maximum(cnt[:, None], 1.0)
+
+    # compact representatives in order
+    rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    n = jnp.sum(rep.astype(jnp.int32))
+    tgt = jnp.where(rep, rank, S)
+    out = jnp.zeros((S + 1, 2), jnp.float32).at[tgt].set(centroid, mode="drop")[:S]
+    return SeedSet(xy=out, valid=jnp.arange(S) < n, kind=jnp.zeros(S, jnp.int8))
+
+
+# ---------------------------------------------------------------------------
+# 3. vertices
+# ---------------------------------------------------------------------------
+
+
+def extract_vertices(grid: GridWorld, owner, s: Statics):
+    """Voronoi vertices from the ownership field.
+
+    Returns (pos [N,2] f32, owners [N,4] i32 (-1 pad), valid [N]) with N =
+    s.max_nodes, in raster order (interior corners first, then border runs).
+    """
+    h, w = owner.shape
+    res = jnp.float32(s.resolution)
+    S_NONE = jnp.int32(-1)
+
+    o00 = owner
+    o01 = jnp.roll(owner, -1, axis=1)
+    o10 = jnp.roll(owner, -1, axis=0)
+    o11 = jnp.roll(jnp.roll(owner, -1, axis=0), -1, axis=1)
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (iy < grid.h_cells - 1) & (ix < grid.w_cells - 1)
+
+    def distinct_count(a, b, c, d):
+        ok = lambda v: v >= 0
+        cnt = ok(a).astype(jnp.int32)
+        cnt += (ok(b) & (b != a)).astype(jnp.int32)
+        cnt += (ok(c) & (c != a) & (c != b)).astype(jnp.int32)
+        cnt += (ok(d) & (d != a) & (d != b) & (d != c)).astype(jnp.int32)
+        return cnt
+
+    ncnt = distinct_count(o00, o01, o10, o11)
+    is_vertex = interior & (ncnt >= 3)
+    vx = grid.origin_x + (ix + 1).astype(jnp.float32) * res
+    vy = grid.origin_y + (iy + 1).astype(jnp.float32) * res
+
+    # border vertices: ownership change along the live border
+    top = (iy == grid.h_cells - 1) & (ix < grid.w_cells - 1) & (o00 != o01) & (o00 >= 0) & (o01 >= 0)
+    bot = (iy == 0) & (ix < grid.w_cells - 1) & (o00 != o01) & (o00 >= 0) & (o01 >= 0)
+    lef = (ix == 0) & (iy < grid.h_cells - 1) & (o00 != o10) & (o00 >= 0) & (o10 >= 0)
+    rig = (ix == grid.w_cells - 1) & (iy < grid.h_cells - 1) & (o00 != o10) & (o00 >= 0) & (o10 >= 0)
+
+    # candidate planes: interior, then borders (deterministic raster order each)
+    planes = []
+    planes.append((is_vertex, vx, vy, o00, o01, o10, o11))
+    topy = grid.origin_y + grid.h_cells.astype(jnp.float32) * res
+    planes.append((top, vx, jnp.full((h, w), 1.0) * topy, o00, o01, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+    boty = jnp.full((h, w), 1.0) * grid.origin_y
+    planes.append((bot, vx, boty, o00, o01, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+    lefx = jnp.full((h, w), 1.0) * grid.origin_x
+    planes.append((lef, lefx, vy, o00, o10, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+    rigx = grid.origin_x + grid.w_cells.astype(jnp.float32) * res
+    planes.append((rig, jnp.full((h, w), 1.0) * rigx, vy, o00, o10, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+
+    masks = jnp.concatenate([p[0].reshape(-1) for p in planes])
+    pxs = jnp.concatenate([p[1].astype(jnp.float32).reshape(-1) for p in planes])
+    pys = jnp.concatenate([p[2].astype(jnp.float32).reshape(-1) for p in planes])
+    ow = [
+        jnp.concatenate([jnp.broadcast_to(p[3 + k], (h, w)).reshape(-1) for p in planes])
+        for k in range(4)
+    ]
+
+    N = s.max_nodes
+    pos_flat = jnp.cumsum(masks.astype(jnp.int32)) - 1
+    tgt = jnp.where(masks & (pos_flat < N), pos_flat, N)
+    n_nodes = jnp.minimum(jnp.sum(masks.astype(jnp.int32)), N)
+
+    def compact(vals, fill):
+        out = jnp.full((N + 1,), fill, vals.dtype)
+        return out.at[tgt].set(vals, mode="drop")[:N]
+
+    pos = jnp.stack([compact(pxs, 0.0), compact(pys, 0.0)], axis=1)
+    owners = jnp.stack([compact(o, -1) for o in ow], axis=1)
+    # mask duplicate owners within a vertex to -1 (so pair keys are unique)
+    a = owners
+    for k in range(1, 4):
+        dup = jnp.zeros((N,), bool)
+        for j in range(k):
+            dup |= (a[:, k] == a[:, j]) & (a[:, k] >= 0)
+        a = a.at[:, k].set(jnp.where(dup, -1, a[:, k]))
+    valid = jnp.arange(N) < n_nodes
+    return pos, a, valid
+
+
+# ---------------------------------------------------------------------------
+# 4-6. edges
+# ---------------------------------------------------------------------------
+
+
+def _edge_crossing(grid: GridWorld, a, b, valid, s: Statics, n_samples: int = 256):
+    """edgePassesThroughOccupiedPixels (cpp:320-359), vectorized: sample each
+    edge at res/2 (num = len/step + 1, t = i/num, final sample at t=1).
+    Edges longer than n_samples * res/2 are sampled coarser (documented
+    deviation; such edges are rare and the skeleton is thin)."""
+    res = jnp.float32(s.resolution)
+    step = res * 0.5
+    length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
+    num = jnp.minimum((length / step).astype(jnp.int32) + 1, n_samples - 1)
+    i = jnp.arange(n_samples, dtype=jnp.float32)[None, :]                 # [1,T]
+    t = jnp.minimum(i / jnp.maximum(num[:, None].astype(jnp.float32), 1.0), 1.0)
+    px = a[:, 0:1] + t * (b[:, 0:1] - a[:, 0:1])
+    py = a[:, 1:2] + t * (b[:, 1:2] - a[:, 1:2])
+    mx = ((px - grid.origin_x) / res).astype(jnp.int32)
+    my = ((py - grid.origin_y) / res).astype(jnp.int32)
+    ing = (mx >= 0) & (mx < grid.w_cells) & (my >= 0) & (my < grid.h_cells)
+    occ = grid.occ[
+        jnp.clip(my, 0, grid.occ.shape[0] - 1), jnp.clip(mx, 0, grid.occ.shape[1] - 1)
+    ] == 1
+    sample_ok = i <= num[:, None].astype(jnp.float32)
+    crossing = jnp.any(occ & ing & sample_ok, axis=1) & valid & (length >= 1e-6)
+    return crossing
+
+
+def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
+                params: AosParams, s: Statics):
+    """Ridge edges + proximity edges, occupied-crossing filtered."""
+    N, E = s.max_nodes, s.max_edges
+    S = seeds.xy.shape[0]
+
+    # ---- ridge entries: (pair key, tangent projection, vertex idx) --------
+    pairs = []
+    for ii in range(4):
+        for jj in range(ii + 1, 4):
+            a = owners[:, ii]
+            b = owners[:, jj]
+            lo = jnp.minimum(a, b)
+            hi = jnp.maximum(a, b)
+            ok = (lo >= 0) & node_valid
+            pairs.append((jnp.where(ok, lo, S), jnp.where(ok, hi, S), ok))
+    lo = jnp.concatenate([p[0] for p in pairs])      # [6N]
+    hi = jnp.concatenate([p[1] for p in pairs])
+    pok = jnp.concatenate([p[2] for p in pairs])
+    vidx = jnp.tile(jnp.arange(N, dtype=jnp.int32), 6)
+
+    sx = jnp.concatenate([seeds.xy[:, 0], jnp.zeros((1,), jnp.float32)])
+    sy = jnp.concatenate([seeds.xy[:, 1], jnp.zeros((1,), jnp.float32)])
+    tx = sx[jnp.minimum(hi, S)] - sx[jnp.minimum(lo, S)]
+    ty = sy[jnp.minimum(hi, S)] - sy[jnp.minimum(lo, S)]
+    # ridge tangent = rot90(seed_b - seed_a)
+    tangx, tangy = -ty, tx
+    vposx = pos[jnp.minimum(vidx, N - 1), 0]
+    vposy = pos[jnp.minimum(vidx, N - 1), 1]
+    tproj = vposx * tangx + vposy * tangy
+
+    key = jnp.where(pok, lo.astype(jnp.int64) * (S + 1) + hi, jnp.int64((S + 1) * (S + 1)))
+    order = jnp.lexsort((tproj, key))
+    key_s = key[order]
+    vidx_s = vidx[order]
+    same = (key_s[:-1] == key_s[1:]) & (key_s[:-1] < (S + 1) * (S + 1))
+    ra = vidx_s[:-1]
+    rb = vidx_s[1:]
+    r_valid = same & (ra != rb)
+
+    # canonical + dedupe (same vertex pair may border two different ridges)
+    ea = jnp.minimum(ra, rb)
+    eb = jnp.maximum(ra, rb)
+    ekey = jnp.where(r_valid, ea.astype(jnp.int64) * N + eb, jnp.int64(N) * N)
+    order2 = jnp.argsort(ekey)
+    ekey_s = ekey[order2]
+    first = jnp.concatenate([jnp.array([True]), ekey_s[1:] != ekey_s[:-1]])
+    ridge_valid = first & (ekey_s < jnp.int64(N) * N)
+    ridge_a = (ekey_s // N).astype(jnp.int32)
+    ridge_b = (ekey_s % N).astype(jnp.int32)
+
+    # crossing filter
+    pa = pos[jnp.minimum(ridge_a, N - 1)]
+    pb = pos[jnp.minimum(ridge_b, N - 1)]
+    crossing = _edge_crossing(grid, pa, pb, ridge_valid, s)
+    ridge_valid = ridge_valid & ~crossing
+
+    # compact ridge edges (cap E)
+    rrank = jnp.cumsum(ridge_valid.astype(jnp.int32)) - 1
+    rtgt = jnp.where(ridge_valid & (rrank < E), rrank, E)
+    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_a, mode="drop")[:E]
+    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_b, mode="drop")[:E]
+    n_ridge = jnp.minimum(jnp.sum(ridge_valid.astype(jnp.int32)), E)
+
+    # ---- proximity edges <= 0.5 m (cpp:861-894) ---------------------------
+    # pairwise over nodes; (i < j) lexicographic order like the reference
+    posm = jnp.where(node_valid[:, None], pos, 1e9)
+    d2 = (
+        (posm[:, None, 0] - posm[None, :, 0]) ** 2
+        + (posm[:, None, 1] - posm[None, :, 1]) ** 2
+    )
+    iidx = jnp.arange(N)
+    t = jnp.asarray(params.proximity_edge_dist, jnp.float32)
+    prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > iidx[:, None])
+    # not already a ridge edge: ridge keys set membership via sorted search
+    pi = jnp.broadcast_to(iidx[:, None], (N, N)).reshape(-1)
+    pj = jnp.broadcast_to(iidx[None, :], (N, N)).reshape(-1)
+    pkey = pi.astype(jnp.int64) * N + pj
+    in_ridge = jnp.isin(pkey, jnp.where(ridge_valid, ekey_s, jnp.int64(N) * N),
+                        assume_unique=False)
+    prox_flat = prox.reshape(-1) & ~in_ridge
+    ppa = pos[jnp.minimum(pi, N - 1)]
+    ppb = pos[jnp.minimum(pj, N - 1)]
+    # crossing filter only for candidates (compact first to bound work)
+    PE = E
+    prank = jnp.cumsum(prox_flat.astype(jnp.int32)) - 1
+    ptgt = jnp.where(prox_flat & (prank < PE), prank, PE)
+    cpa = jnp.zeros((PE + 1, 2), jnp.float32).at[ptgt].set(ppa, mode="drop")[:PE]
+    cpb = jnp.zeros((PE + 1, 2), jnp.float32).at[ptgt].set(ppb, mode="drop")[:PE]
+    cpi = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pi.astype(jnp.int32), mode="drop")[:PE]
+    cpj = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pj.astype(jnp.int32), mode="drop")[:PE]
+    n_prox_cand = jnp.minimum(jnp.sum(prox_flat.astype(jnp.int32)), PE)
+    pvalid = jnp.arange(PE) < n_prox_cand
+    pcross = _edge_crossing(grid, cpa, cpb, pvalid, s, n_samples=32)
+    pvalid = pvalid & ~pcross
+
+    # ---- final edge list: ridges then proximity ---------------------------
+    all_a = jnp.concatenate([edges_a, jnp.where(pvalid, cpi, -1)])
+    all_b = jnp.concatenate([edges_b, jnp.where(pvalid, cpj, -1)])
+    all_ok = jnp.concatenate([jnp.arange(E) < n_ridge, pvalid])
+    frank = jnp.cumsum(all_ok.astype(jnp.int32)) - 1
+    ftgt = jnp.where(all_ok & (frank < E), frank, E)
+    fa = jnp.full((E + 1,), -1, jnp.int32).at[ftgt].set(all_a, mode="drop")[:E]
+    fb = jnp.full((E + 1,), -1, jnp.int32).at[ftgt].set(all_b, mode="drop")[:E]
+    n_edges = jnp.minimum(jnp.sum(all_ok.astype(jnp.int32)), E)
+    ev = jnp.arange(E) < n_edges
+    lengths = jnp.where(
+        ev,
+        jnp.sqrt(jnp.sum((pos[jnp.maximum(fb, 0)] - pos[jnp.maximum(fa, 0)]) ** 2, axis=1)),
+        0.0,
+    )
+    return fa, fb, ev, lengths, n_edges
+
+
+# ---------------------------------------------------------------------------
+# 7. labels
+# ---------------------------------------------------------------------------
+
+
+def _cast_ray_gvd(grid: GridWorld, start, direction, active, s: Statics):
+    """castRay (cpp:558-684): step = max(res/2, 0.01), from min_dist 1.0,
+    until leaving the grid (clamped boundary point) or an occupied cell."""
+    from ..perceive.seeds import cast_rays_unbounded
+
+    step = max(s.resolution * 0.5, 0.01)
+    return cast_rays_unbounded(grid, start, direction, active, jnp.float32(1.0), step, 3.0, s)
+
+
+def find_labels(pos, node_valid, rows_sorted: TreeRows, skel: GridWorld,
+                params: AosParams, s: Statics):
+    """findClusterEndpointVoronoiBoundaryPoints (cpp:485-556) +
+    findVoronoiBoundaryPointNearEndpoint (cpp:686-790).
+
+    rows_sorted: exploration rows in published (sorted) order; endpoints are
+    re-oriented so ep1 = smaller x ("TOP", cpp:134-145). For each (cluster,
+    label in TL,TR,BL,BR): expanding radii {5,7,9,diag*2}; candidates must
+    satisfy dist in (min_dist, radius], dot(outward,dir)>=0 and the perp
+    half-plane; nearest candidate wins; castRay fallback otherwise.
+
+    Returns (label_points [C,4,2], label_is_node [C,4] node idx or -1)."""
+    C = s.max_rows
+    N = s.max_nodes
+    res = jnp.float32(s.resolution)
+
+    # ep1 = smaller x
+    swap = rows_sorted.ep1[:, 0] > rows_sorted.ep2[:, 0]
+    ep1 = jnp.where(swap[:, None], rows_sorted.ep2, rows_sorted.ep1)
+    ep2 = jnp.where(swap[:, None], rows_sorted.ep1, rows_sorted.ep2)
+
+    # per (cluster, label): endpoint, other, perp sign
+    eps = jnp.stack([ep1, ep1, ep2, ep2], axis=1)        # [C,4,2]
+    oth = jnp.stack([ep2, ep2, ep1, ep1], axis=1)
+    sign = jnp.array([-1.0, 1.0, -1.0, 1.0], jnp.float32)  # TL,TR,BL,BR
+
+    d = oth - eps
+    n = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    main = jnp.where(n > 1e-6, d / jnp.maximum(n, 1e-6), jnp.array([1.0, 0.0]))
+    outward = -main                                       # [C,4,2]
+    perp = jnp.stack([-main[..., 1], main[..., 0]], axis=-1)
+
+    diff = pos[None, None, :, :] - eps[:, :, None, :]      # [C,4,N,2]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    dirn = diff / jnp.maximum(dist, 1e-12)[..., None]
+    dot_out = jnp.sum(outward[:, :, None, :] * dirn, axis=-1)
+    dot_perp = jnp.sum(perp[:, :, None, :] * dirn, axis=-1)
+    base_ok = (
+        node_valid[None, None, :]
+        & (dist >= params.label_search_min_dist)
+        & (dot_out >= 0.0)
+        & (dot_perp * sign[None, :, None] >= 0.0)
+    )
+    gw = skel.w_cells.astype(jnp.float32) * res
+    gh = skel.h_cells.astype(jnp.float32) * res
+    diag2 = jnp.sqrt(gw * gw + gh * gh) * 2.0
+    radii = [params.label_search_radius0, jnp.float32(7.0), jnp.float32(9.0), diag2]
+
+    big = jnp.float32(1e9)
+    best = jnp.full((C, 4), big)
+    best_idx = jnp.full((C, 4), -1, jnp.int32)
+    found = jnp.zeros((C, 4), bool)
+    for r in radii:
+        ok = base_ok & (dist <= r)
+        dmask = jnp.where(ok, dist, big)
+        tier_best = jnp.min(dmask, axis=-1)
+        tier_idx = jnp.argmin(dmask, axis=-1).astype(jnp.int32)
+        tier_found = tier_best < big
+        use = ~found & tier_found
+        best = jnp.where(use, tier_best, best)
+        best_idx = jnp.where(use, tier_idx, best_idx)
+        found = found | tier_found
+
+    # castRay fallback for not-found (always "valid" per cpp:788-789)
+    ang = sign  # -90 => -perp, +90 => +perp (cpp:710-717)
+    ray_dir = perp * sign[None, :, None]
+    starts = eps.reshape(C * 4, 2)
+    dirs = ray_dir.reshape(C * 4, 2)
+    need = (~found & rows_sorted.valid[:, None]).reshape(C * 4)
+    fb = _cast_ray_gvd(skel, starts, dirs, need, s).reshape(C, 4, 2)
+
+    node_pts = pos[jnp.maximum(best_idx, 0)]
+    label_points = jnp.where(found[..., None], node_pts, fb)
+    label_valid = rows_sorted.valid[:, None] & jnp.ones((C, 4), bool)
+    return label_points, label_valid, jnp.where(found, best_idx, -1)
+
+
+def assign_labels(pos, node_valid, label_points, label_valid, params, s: Statics):
+    """publishGraph label matching (cpp:918-995): node gets bit (1<<li) when
+    within 0.1 m of any cluster's label point; label_node[c,li] = first
+    matching node index."""
+    C = s.max_rows
+    N = s.max_nodes
+    tol = jnp.asarray(params.label_match_tolerance, jnp.float32)
+    diff = pos[:, None, None, :] - label_points[None, :, :, :]     # [N,C,4,2]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    match = (d < tol) & label_valid[None, :, :] & node_valid[:, None, None]
+    bits = jnp.array([1, 2, 4, 8], jnp.int32)
+    node_labels = jnp.sum(
+        jnp.where(jnp.any(match, axis=1), bits[None, :], 0), axis=-1
+    ).astype(jnp.int32)
+    idxs = jnp.where(match, jnp.arange(N)[:, None, None], N)
+    first = jnp.min(idxs, axis=0)
+    label_node = jnp.where(first < N, first, -1).astype(jnp.int32)  # [C,4]
+    return node_labels, label_node
+
+
+# ---------------------------------------------------------------------------
+# full build
+# ---------------------------------------------------------------------------
+
+
+def build_gvd_graph(
+    seeds: SeedSet,
+    rows_sorted: TreeRows,
+    skel: GridWorld,
+    params: AosParams,
+    s: Statics,
+) -> GvdGraph:
+    """processGraph (cpp:255-318) as one jitted function."""
+    merged = merge_seeds(seeds, params, s)
+    owner = jump_flood(skel, merged, s)
+    pos, owners, node_valid = extract_vertices(skel, owner, s)
+    ea, eb, ev, lengths, n_edges = build_edges(
+        pos, owners, node_valid, skel, merged, params, s
+    )
+    label_points, label_valid, _ = find_labels(
+        pos, node_valid, rows_sorted, skel, params, s
+    )
+    node_labels, label_node = assign_labels(
+        pos, node_valid, label_points, label_valid, params, s
+    )
+    return GvdGraph(
+        nodes=pos,
+        node_valid=node_valid,
+        node_labels=node_labels,
+        label_node=label_node,
+        edges=jnp.stack([ea, eb], axis=1),
+        edge_valid=ev,
+        edge_lengths=lengths,
+        edge_clearances=jnp.zeros_like(lengths),  # reference always writes 0
+        num_nodes=jnp.sum(node_valid.astype(jnp.int32)),
+        num_edges=n_edges,
+    )

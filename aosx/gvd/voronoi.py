@@ -1,0 +1,102 @@
+"""Grid-space Voronoi field via jump flooding (C7).
+
+The reference computes float-precision Voronoi facets with cv::Subdiv2D
+(voronoi_diagram.cpp:16-147) and then immediately discretizes the result by
+snapping to deduped boundary points and dropping everything outside the grid
+(aos_gvd_node.cpp:420-483). The TPU-native equivalent skips the float facets
+entirely: a jump-flood nearest-seed ownership field over the live grid, from
+which Voronoi vertices (>= 3 distinct owners around a cell corner), border
+vertices (owner changes along the live border), and ridge connectivity are
+extracted. This reproduces the reference's NODE/EDGE SEMANTICS (boundary
+points + connectivity); coordinates are accurate to the grid resolution.
+Parity with the Subdiv2D construction is validated at the decision level
+(SURVEY.md hard part #2), not float-exactly.
+
+JFA here is the "1+JFA" variant (extra step-1 pass first), with ties broken
+by lower seed index; owner POSITIONS are carried as separate planes so each
+pass is pure shifted elementwise math - no gathers in the hot loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Statics
+from ..types import GridWorld, SeedSet
+from ..perceive.raster import live_mask, shift2d
+
+
+def _passes(s: Statics):
+    n = max(s.grid_h, s.grid_w)
+    steps = [1]
+    k = 1
+    while k < n:
+        k *= 2
+    k //= 2
+    while k >= 1:
+        steps.append(k)
+        k //= 2
+    return steps
+
+
+def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
+    """Nearest-seed ownership over the live region.
+
+    Returns (owner [H,W] i32, seed index or -1 outside live/no seeds).
+    Distances measured from cell corners (world = origin + cell * res), the
+    same convention as the reference's worldToGrid.
+    """
+    h, w = grid.occ.shape
+    res = jnp.float32(s.resolution)
+    S = seeds.xy.shape[0]
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    cellx = grid.origin_x + ix.astype(jnp.float32) * res
+    celly = grid.origin_y + iy.astype(jnp.float32) * res
+
+    # init: scatter seeds into their containing cells (min seed idx on ties)
+    sx = jnp.clip(
+        jnp.floor((seeds.xy[:, 0] - grid.origin_x) / res).astype(jnp.int32),
+        0, grid.w_cells - 1)
+    sy = jnp.clip(
+        jnp.floor((seeds.xy[:, 1] - grid.origin_y) / res).astype(jnp.int32),
+        0, grid.h_cells - 1)
+    sidx = jnp.where(seeds.valid, jnp.arange(S, dtype=jnp.int32), S)
+    owner = jnp.full((h, w), S, jnp.int32).at[sy, sx].min(sidx, mode="drop")
+
+    seeds_x = jnp.concatenate([seeds.xy[:, 0], jnp.array([1e9], jnp.float32)])
+    seeds_y = jnp.concatenate([seeds.xy[:, 1], jnp.array([1e9], jnp.float32)])
+    ox = seeds_x[owner]
+    oy = seeds_y[owner]
+
+    def dist2(px, py):
+        return (px - cellx) ** 2 + (py - celly) ** 2
+
+    d2 = jnp.where(owner < S, dist2(ox, oy), jnp.float32(3.4e38))
+
+    state = (owner, ox, oy, d2)
+    for step in _passes(s):
+        owner, ox, oy, d2 = state
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                n_owner = shift2d(owner, dy, dx)
+                # zero-fill shift brings 0s; mark shifted-in cells as empty
+                edge = shift2d(jnp.ones((h, w), jnp.int32), dy, dx) == 0
+                n_owner = jnp.where(edge, S, n_owner)
+                n_ox = shift2d(ox, dy, dx)
+                n_oy = shift2d(oy, dy, dx)
+                n_d2 = jnp.where(n_owner < S, dist2(n_ox, n_oy), jnp.float32(3.4e38))
+                better = (n_d2 < d2) | ((n_d2 == d2) & (n_owner < owner))
+                owner = jnp.where(better, n_owner, owner)
+                ox = jnp.where(better, n_ox, ox)
+                oy = jnp.where(better, n_oy, oy)
+                d2 = jnp.where(better, n_d2, d2)
+        state = (owner, ox, oy, d2)
+
+    owner, ox, oy, d2 = state
+    owner = jnp.where(live_mask(grid) & (owner < S), owner, -1)
+    return owner

@@ -1,1 +1,1 @@
-# pipeline.perceive is exported once the full stage set exists
+from .pipeline import PerceiveOut, perceive  # noqa: F401

@@ -112,6 +112,21 @@ def mark_borders(grid: GridWorld, thickness: int = 5) -> GridWorld:
     return GridWorld(occ, grid.origin_x, grid.origin_y, grid.h_cells, grid.w_cells)
 
 
+def edge_replicated(grid: GridWorld):
+    """occ with the dead region filled by replicating the live edge:
+    occ_ext[y, x] == occ[min(y, h_cells-1), min(x, w_cells-1)].
+
+    Reading occ_ext at STATIC-clamped indices is then identical to the
+    reference's worldToGrid clamp-to-live-region (aos_seed_gen_node.cpp:
+    760-769). One-time gather; keeps traced clamp bounds OUT of loop bodies
+    (XLA CPU hangs compiling gathers with traced clamp bounds inside loops).
+    """
+    h, w = grid.occ.shape
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return grid.occ[jnp.minimum(iy, grid.h_cells - 1), jnp.minimum(ix, grid.w_cells - 1)]
+
+
 def world_to_grid_clamped(grid: GridWorld, wx, wy, res):
     """worldToGrid (aos_seed_gen_node.cpp:760-769): floor + clamp to live region."""
     gx = jnp.floor((wx - grid.origin_x) / res).astype(jnp.int32)
