@@ -1,0 +1,210 @@
+"""Closed-loop exploration engine (C16/C17).
+
+The reference's six ROS nodes communicating over DDS collapse into pure
+function composition: perceive -> GVD graph -> waypoints happen once per map
+(prepare_world), then a jitted per-tick step runs
+    control mode update  (aos_state_machine_node)
+    mission FSM + replan (aos_path_gen_node)
+    path linearization   (aos_path_linearization_node)
+    robot kinematics     (external in the reference; a simple unicycle here)
+The whole episode is a lax.scan, vmappable over thousands of procedural
+orchards and shardable across a TPU mesh (aosx.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .config import AosParams, Statics
+from .gvd import build_gvd_graph
+from .perceive import perceive
+from .plan.astar import cost_matrix
+from .plan.control import control_tick, on_path
+from .plan.linearize import linearize
+from .plan.mission import build_waypoints, mission_tick, plan_current_path
+from .types import (
+    ControlState,
+    GridWorld,
+    GvdGraph,
+    MissionState,
+    Path,
+    PointCloud,
+    Polygon,
+    Waypoints,
+)
+
+
+def _dc(cls):
+    return jax.tree_util.register_dataclass(dataclasses.dataclass(frozen=True)(cls))
+
+
+@_dc
+class World:
+    """Static per-episode data (one SLAM map)."""
+
+    skeleton: Any      # GridWorld
+    occupancy: Any     # GridWorld
+    graph: Any         # GvdGraph
+    costmat: Any       # [N,N]
+    waypoints: Any     # Waypoints (initial tour)
+
+
+@_dc
+class Robot:
+    xy: Any
+    yaw: Any
+
+
+@_dc
+class EngineState:
+    robot: Any         # Robot
+    mission: Any       # MissionState
+    control: Any       # ControlState
+    wp: Any            # Waypoints (mutates when origin is appended)
+    plan: Any          # Path (linearized /plan)
+    raw_path: Any      # Path (/aos/path)
+    last_mod: Any      # last published control mode
+    t: Any
+
+
+def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
+                  s: Statics, *, ror_method: str = "mxu") -> World:
+    """One full perception + graph pass over a static map."""
+    out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method)
+    graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s)
+    costmat = cost_matrix(graph, s)
+    wp = build_waypoints(graph, params, s)
+    return World(
+        skeleton=out.skeleton,
+        occupancy=out.occupancy,
+        graph=graph,
+        costmat=costmat,
+        waypoints=wp,
+    )
+
+
+def initial_state(world: World, s: Statics) -> EngineState:
+    P, Q = s.max_path, s.max_plan
+    empty_raw = Path(xy=jnp.zeros((P, 2), jnp.float32), yaw=jnp.zeros(P), count=jnp.int32(0))
+    empty_plan = Path(xy=jnp.zeros((Q, 2), jnp.float32), yaw=jnp.zeros(Q), count=jnp.int32(0))
+    return EngineState(
+        robot=Robot(xy=jnp.zeros(2, jnp.float32), yaw=jnp.float32(0.0)),
+        mission=MissionState.initial(),
+        control=ControlState.initial(),
+        wp=world.waypoints,
+        plan=empty_plan,
+        raw_path=empty_raw,
+        last_mod=jnp.int32(3),
+        t=jnp.int32(0),
+    )
+
+
+def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
+                v_dt=jnp.float32(0.12), yaw_rate=jnp.float32(0.6)):
+    """Minimal unicycle stand-in for the external controller: follow the
+    plan in mode 0, converge on the goal pose in modes 1/2, freeze in 3."""
+    Q = plan.xy.shape[0]
+    idx = jnp.arange(Q)
+    d = jnp.sqrt(jnp.sum((plan.xy - robot.xy[None, :]) ** 2, axis=1))
+    d = jnp.where(idx < plan.count, d, 3.4e38)
+    ci = jnp.argmin(d)
+    look = jnp.minimum(ci + 10, jnp.maximum(plan.count - 1, 0))
+    follow_tgt = plan.xy[look]
+
+    tgt = jnp.where(mod == 0, follow_tgt, goal_xy)
+    delta = tgt - robot.xy
+    dist = jnp.sqrt(jnp.sum(delta**2))
+    step = jnp.minimum(v_dt, dist)
+    move = jnp.where(dist > 1e-6, delta / jnp.maximum(dist, 1e-6) * step, jnp.zeros(2))
+    new_xy = jnp.where(mod == 3, robot.xy, robot.xy + move)
+
+    desired = jnp.where(
+        (mod == 1) | (mod == 2) | (dist <= 1e-6),
+        jnp.where(dist < 0.3, goal_yaw, jnp.arctan2(delta[1], delta[0])),
+        jnp.arctan2(delta[1], delta[0]),
+    )
+    dyaw = jnp.arctan2(jnp.sin(desired - robot.yaw), jnp.cos(desired - robot.yaw))
+    new_yaw = jnp.where(
+        mod == 3, robot.yaw, robot.yaw + jnp.clip(dyaw, -yaw_rate, yaw_rate)
+    )
+    return Robot(xy=new_xy, yaw=new_yaw)
+
+
+def step(state: EngineState, world: World, params: AosParams, s: Statics):
+    """One engine tick. Returns (state, metrics dict)."""
+    # 1. control tick on the current /plan (odometry message equivalent)
+    ctrl = on_path(state.control, state.plan)
+    ctrl, fired, mod, goal_xy, goal_yaw = control_tick(
+        ctrl, state.robot.xy, state.robot.yaw, params
+    )
+    mod_pub = jnp.where(fired | ~ctrl.goal_initialized, mod, state.last_mod)
+
+    # 2. mission FSM + replanning
+    mission, wp, should_replan = mission_tick(
+        state.mission, state.wp, state.robot.xy, mod_pub, params
+    )
+    raw, success = plan_current_path(
+        mission, wp, world.graph, world.costmat, world.skeleton, params, s
+    )
+    # keep last path when frozen or failed (cpp:265-271, 1036-1043)
+    use_new = should_replan & success
+    raw_path = Path(
+        xy=jnp.where(use_new, raw.xy, state.raw_path.xy),
+        yaw=jnp.where(use_new, raw.yaw, state.raw_path.yaw),
+        count=jnp.where(use_new, raw.count, state.raw_path.count),
+    )
+    plan_path = linearize(raw_path, params, s)
+    status = jnp.where(
+        mission.status == 3, 3,
+        jnp.where(mission.status == 2, 2, jnp.where(success, 0, 1)),
+    )
+    mission = MissionState(
+        target_wp=mission.target_wp,
+        prev_wp=mission.prev_wp,
+        initial_reached=mission.initial_reached,
+        exploration_completed=mission.exploration_completed,
+        waiting_for_docking=mission.waiting_for_docking,
+        status=status,
+        origin_appended=mission.origin_appended,
+    )
+
+    # 3. robot kinematics
+    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy, ctrl.goal_yaw)
+
+    new_state = EngineState(
+        robot=robot,
+        mission=mission,
+        control=ctrl,
+        wp=wp,
+        plan=plan_path,
+        raw_path=raw_path,
+        last_mod=mod_pub,
+        t=state.t + 1,
+    )
+    metrics = dict(
+        xy=robot.xy,
+        yaw=robot.yaw,
+        mod=mod_pub,
+        status=status,
+        target_wp=mission.target_wp,
+        waiting=mission.waiting_for_docking,
+        completed=mission.exploration_completed,
+        plan_len=plan_path.count,
+    )
+    return new_state, metrics
+
+
+def episode(world: World, params: AosParams, s: Statics, n_steps: int):
+    """Full closed-loop rollout via lax.scan. Returns (final state, stacked
+    per-step metrics)."""
+    st0 = initial_state(world, s)
+
+    def body(st, _):
+        st, m = step(st, world, params, s)
+        return st, m
+
+    return jax.lax.scan(body, st0, None, length=n_steps)

@@ -223,7 +223,7 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     vposy = pos[jnp.minimum(vidx, N - 1), 1]
     tproj = vposx * tangx + vposy * tangy
 
-    key = jnp.where(pok, lo.astype(jnp.int64) * (S + 1) + hi, jnp.int64((S + 1) * (S + 1)))
+    key = jnp.where(pok, lo * (S + 1) + hi, jnp.int32((S + 1) * (S + 1)))
     order = jnp.lexsort((tproj, key))
     key_s = key[order]
     vidx_s = vidx[order]
@@ -235,11 +235,11 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     # canonical + dedupe (same vertex pair may border two different ridges)
     ea = jnp.minimum(ra, rb)
     eb = jnp.maximum(ra, rb)
-    ekey = jnp.where(r_valid, ea.astype(jnp.int64) * N + eb, jnp.int64(N) * N)
+    ekey = jnp.where(r_valid, ea * N + eb, jnp.int32(N) * N)
     order2 = jnp.argsort(ekey)
     ekey_s = ekey[order2]
     first = jnp.concatenate([jnp.array([True]), ekey_s[1:] != ekey_s[:-1]])
-    ridge_valid = first & (ekey_s < jnp.int64(N) * N)
+    ridge_valid = first & (ekey_s < jnp.int32(N) * N)
     ridge_a = (ekey_s // N).astype(jnp.int32)
     ridge_b = (ekey_s % N).astype(jnp.int32)
 
@@ -269,8 +269,8 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     # not already a ridge edge: ridge keys set membership via sorted search
     pi = jnp.broadcast_to(iidx[:, None], (N, N)).reshape(-1)
     pj = jnp.broadcast_to(iidx[None, :], (N, N)).reshape(-1)
-    pkey = pi.astype(jnp.int64) * N + pj
-    in_ridge = jnp.isin(pkey, jnp.where(ridge_valid, ekey_s, jnp.int64(N) * N),
+    pkey = pi * N + pj
+    in_ridge = jnp.isin(pkey, jnp.where(ridge_valid, ekey_s, jnp.int32(N) * N),
                         assume_unique=False)
     prox_flat = prox.reshape(-1) & ~in_ridge
     ppa = pos[jnp.minimum(pi, N - 1)]

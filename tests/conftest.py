@@ -1,10 +1,24 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh (multi-chip sharding validated
-# without TPU hardware); bench runs on the real chip separately.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Make an 8-virtual-device CPU platform available for multi-chip sharding
+# tests. NOTE: under the axon TPU plugin, JAX_PLATFORMS=cpu is ignored (the
+# tunnel backend stays default), so we pin the default device to CPU instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("AOSX_TEST_ON_TPU"):
+    _cpu = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpu[0])
+
+
+def cpu_mesh(n: int = 8, axis: str = "data"):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices("cpu")[:n])
+    return Mesh(devs, (axis,))
