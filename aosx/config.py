@@ -118,6 +118,27 @@ TEST_STATICS = Statics(
     max_plan=2048,
 )
 
+# Tiny config for multi-chip dry runs (compiles in seconds on CPU devices).
+DRYRUN_STATICS = Statics(
+    grid_h=192,
+    grid_w=256,
+    resolution=0.05,
+    max_points=512,
+    max_poly=8,
+    max_clusters=8,
+    max_skel_cells=512,
+    max_rows=4,
+    max_seeds_per_row=16,
+    max_seeds=128,
+    max_nodes=128,
+    max_edges=512,
+    max_labels=32,
+    max_waypoints=12,
+    max_path=64,
+    max_plan=1024,
+    skeleton_max_iters=32,
+)
+
 # Benchmark config per BASELINE.md: 200x200 m @ 0.1 m -> 2000x2000 cells.
 BENCH_STATICS = Statics(
     grid_h=2000,          # rounded to 2000 (already mult of 8)

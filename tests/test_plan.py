@@ -1,0 +1,192 @@
+"""Parity of A*, waypoint sequencing, linearization, and the control state
+machine vs the oracle (reference algorithms)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
+from aosx.oracle import plan as oplan
+from aosx.plan import astar as jastar
+from aosx.plan import linearize as jlin
+from aosx.plan import control as jctrl
+from aosx.plan.mission import build_waypoints
+from aosx.types import ControlState, GvdGraph, Path
+
+
+def _random_graph(rng, n_nodes=40, n_edges=90):
+    nodes = rng.uniform(0, 20, (n_nodes, 2)).astype(np.float32)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    lengths = [float(np.linalg.norm(nodes[a] - nodes[b])) for a, b in edges]
+    return nodes, edges, lengths
+
+
+def _to_gvd(nodes, edges, lengths, label_node=None):
+    N, E, C = S.max_nodes, S.max_edges, S.max_rows
+    n, e = len(nodes), len(edges)
+    jn = np.zeros((N, 2), np.float32)
+    jn[:n] = nodes
+    je = np.full((E, 2), -1, np.int32)
+    je[:e] = np.asarray(edges, np.int32)
+    jl = np.zeros(E, np.float32)
+    jl[:e] = lengths
+    ln = np.full((C, 4), -1, np.int32)
+    if label_node is not None:
+        ln[: label_node.shape[0]] = label_node
+    return GvdGraph(
+        nodes=jnp.asarray(jn),
+        node_valid=jnp.arange(N) < n,
+        node_labels=jnp.zeros(N, jnp.int32),
+        label_node=jnp.asarray(ln),
+        edges=jnp.asarray(je),
+        edge_valid=jnp.arange(E) < e,
+        edge_lengths=jnp.asarray(jl),
+        edge_clearances=jnp.zeros(E, jnp.float32),
+        num_nodes=jnp.int32(n),
+        num_edges=jnp.int32(e),
+    )
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(7)
+    nodes, edges, lengths = _random_graph(rng)
+    return nodes, edges, lengths, _to_gvd(nodes, edges, lengths)
+
+
+def test_astar_parity(graph):
+    nodes, edges, lengths, g = graph
+    adj = oplan.build_adjacency(len(nodes), edges)
+    elen = {e: l for e, l in zip(edges, lengths)}
+    cm = jax.jit(lambda g: jastar.cost_matrix(g, S))(g)
+    params = params_as_f32(AosParams())
+
+    f = jax.jit(
+        lambda cm, g, a, b: jastar.astar(
+            cm, g.nodes, g.node_valid, a, b, params.heuristic_weight, S
+        )
+    )
+    rng = np.random.default_rng(1)
+    checked = 0
+    for _ in range(12):
+        a, b = map(int, rng.integers(0, len(nodes), 2))
+        ref = oplan.astar(nodes.astype(np.float64), adj, elen, a, b)
+        path, ln, found = f(cm, g, jnp.int32(a), jnp.int32(b))
+        ln = int(ln)
+        got = list(np.asarray(path)[:ln])
+        if ref:
+            assert bool(found), (a, b, ref)
+            # identical cost (paths may differ on exact ties)
+            rc = oplan.path_cost(nodes, elen, ref)
+            gc = float(jastar.path_cost(cm, g.nodes, path, jnp.int32(ln)))
+            assert abs(rc - gc) < 1e-3, (a, b, ref, got, rc, gc)
+            checked += 1
+        else:
+            assert not bool(found) or ln <= 1
+    assert checked >= 6
+
+
+def test_k_nearest(graph):
+    nodes, _, _, g = graph
+    pt = np.array([5.0, 5.0], np.float32)
+    got = np.asarray(
+        jax.jit(lambda g, p: jastar.k_nearest_nodes(g.nodes, g.node_valid, p, 5))(
+            g, jnp.asarray(pt)
+        )
+    )
+    ref = oplan.k_nearest(nodes, pt, 5)
+    assert list(got) == ref
+
+
+def test_waypoint_sequence_parity(graph):
+    nodes, edges, lengths, _ = graph
+    rng = np.random.default_rng(3)
+    # 3 clusters with full TL/TR/BL/BR label tables
+    label_node = rng.choice(len(nodes), (3, 4), replace=False).astype(np.int32)
+    g = _to_gvd(nodes, edges, lengths, label_node)
+    params = params_as_f32(AosParams())
+    wp = jax.jit(lambda g, p: build_waypoints(g, p, S))(g, params)
+
+    cl = oplan.build_cluster_waypoint_mapping(label_node)
+    ref_xy, ref_nodes = oplan.build_waypoint_sequence(cl, nodes.astype(np.float64))
+    n = int(wp.count)
+    assert n == len(ref_nodes), (n, len(ref_nodes))
+    assert list(np.asarray(wp.node_idx)[:n]) == ref_nodes
+    assert np.abs(np.asarray(wp.xy)[:n] - ref_xy).max() < 1e-4
+
+
+def _mk_path(pts):
+    P = S.max_path
+    xy = np.zeros((P, 2), np.float32)
+    xy[: len(pts)] = pts
+    return Path(xy=jnp.asarray(xy), yaw=jnp.zeros(P), count=jnp.int32(len(pts)))
+
+
+@pytest.mark.parametrize("case", ["two", "four", "zigzag", "long"])
+def test_linearize_parity(case):
+    rng = np.random.default_rng(5)
+    if case == "two":
+        pts = np.array([[0.0, 0.0], [1.3, 0.7]])
+    elif case == "four":
+        pts = np.array([[0, 0], [1, 0.1], [2, -0.1], [3.0, 0.4]])
+    elif case == "zigzag":
+        xs = np.linspace(0, 8, 24)
+        ys = np.where(xs < 4, 0.02 * xs, 0.08 + 0.9 * (xs - 4))
+        pts = np.stack([xs, ys], 1) + rng.normal(0, 0.005, (24, 2))
+    else:  # ends at origin -> long-distance mode (10 segments)
+        xs = np.linspace(8, 0.0, 30)
+        ys = np.abs(np.sin(xs)) * 0.5
+        pts = np.stack([xs, ys], 1)
+        pts[-1] = [0.0, 0.0]
+    params = params_as_f32(AosParams())
+    jp = jax.jit(lambda p, pr: jlin.linearize(p, pr, S))(_mk_path(pts), params)
+    ref_xy, ref_yaw = oplan.linearize_path(pts)
+    n = int(jp.count)
+    assert n == len(ref_xy), (case, n, len(ref_xy))
+    assert np.abs(np.asarray(jp.xy)[:n] - ref_xy).max() < 2e-3, case
+    dy = np.abs(np.asarray(jp.yaw)[:n] - ref_yaw)
+    dy = np.minimum(dy, 2 * np.pi - dy)
+    assert dy.max() < 1e-2, case
+
+
+def test_control_parity():
+    params = params_as_f32(AosParams())
+    # a straight path east, goal at (5, 0) facing east
+    pts = np.stack([np.linspace(0, 5, 101), np.zeros(101)], 1)
+    yaws = np.zeros(101)
+    jpath_xy = np.zeros((S.max_plan, 2), np.float32)
+    jpath_xy[:101] = pts
+    jpath = Path(
+        xy=jnp.asarray(jpath_xy),
+        yaw=jnp.zeros(S.max_plan),
+        count=jnp.int32(101),
+    )
+    ref = oplan.ControlSM()
+    ref.on_path(pts, yaws)
+    st = jctrl.on_path(ControlState.initial(), jpath)
+
+    tick = jax.jit(lambda st, xy, yaw: jctrl.control_tick(st, xy, yaw, params))
+    # scripted approach along x
+    xs = np.concatenate([np.linspace(0, 4.6, 30), np.linspace(4.62, 5.0, 40)])
+    mods_ref, mods_jax = [], []
+    cnt = 0
+    for x in xs:
+        pose = np.array([x, 0.0], np.float32)
+        cnt += 1
+        if cnt % 5 == 0:
+            m = ref.tick(pose, 0.0)
+        else:
+            m = None
+        st, fired, mod, _, _ = tick(st, jnp.asarray(pose), jnp.float32(0.0))
+        if m is not None:
+            mods_ref.append(m)
+            assert bool(fired)
+            mods_jax.append(int(mod))
+    assert mods_jax == mods_ref
+    assert 3 in mods_jax  # reached and stopped
