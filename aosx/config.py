@@ -145,6 +145,14 @@ BENCH_STATICS = Statics(
     grid_w=2048,
     resolution=0.1,
     max_points=131072,
+    max_skel_cells=65536,
+    max_rows=32,
+    max_seeds_per_row=192,
+    max_seeds=4096,
+    max_nodes=4096,
+    max_edges=16384,
+    max_path=768,
+    max_plan=4096,
 )
 
 

@@ -82,5 +82,6 @@ def sharded_rollouts(keys, spec, params, s, n_steps, mesh: Mesh,
         mesh=mesh,
         in_specs=P("data"),
         out_specs=(P("data"), P()),
+        check_vma=False,  # scan carries inside the rollout start unvarying
     )
     return jax.jit(f)(keys)
