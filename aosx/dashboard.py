@@ -1,0 +1,156 @@
+"""Ops dashboard - the aos_panel_plugin replacement (C13; reference:
+src/ui/aos_panel_plugin*.cpp, ~1350 LoC of Qt). The RViz panel's four
+functions map to:
+
+- status tab        -> episode_report(): control-mode text, position,
+                       cluster/waypoint progress with the panel's formula
+                       (total waypoints = 2 per cluster + 3 for the last;
+                       aos_panel_plugin_ros2.cpp:232-244)
+- parameters tab    -> params_get/params_set: read/patch the
+                       aos_planner_params.yaml schema (the panel regex-patches
+                       the YAML; we round-trip it structurally)
+- remote control    -> N/A (no station link in the sim engine)
+- map save chain    -> save_map(): checkpoint the world + cluster info
+                       (replacing /lio_sam/save_map + /gvd/save_cluster_info)
+
+Run: python -m aosx.dashboard [--steps N] [--pcd file] [--out dir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+MODE_TEXT = {0: "Path Following", 1: "Precise Approach", 2: "Semi-Precise Approach", 3: "Stopped/Arrived"}
+
+
+def panel_total_waypoints(n_clusters: int) -> int:
+    """The panel's progress denominator (aos_panel_plugin_ros2.cpp:232-244):
+    2 waypoints per cluster plus 3 on the last."""
+    if n_clusters <= 0:
+        return 0
+    return 2 * (n_clusters - 1) + 3
+
+
+def episode_report(final, metrics, statics) -> dict:
+    from .types import STATUS_STRINGS
+
+    status = int(np.asarray(metrics["status"])[-1])
+    mod = int(np.asarray(metrics["mod"])[-1])
+    xy = np.asarray(final.robot.xy)
+    target = int(np.asarray(final.mission.target_wp))
+    n_wp = int(np.asarray(final.wp.count))
+    return dict(
+        status=STATUS_STRINGS.get(status, str(status)),
+        control_mode=MODE_TEXT.get(mod, str(mod)),
+        position=[round(float(xy[0]), 3), round(float(xy[1]), 3)],
+        waypoint_progress=f"{max(target, 0)}/{n_wp}",
+        exploration_completed=bool(np.asarray(final.mission.exploration_completed)),
+        docking=bool(np.asarray(final.mission.waiting_for_docking)),
+        travel_distance=round(
+            float(np.sum(np.sqrt(np.sum(np.diff(np.asarray(metrics["xy"]), axis=0) ** 2, axis=1)))),
+            2,
+        ),
+    )
+
+
+def params_get(yaml_path: str, node: str = "aos_seed_gen_node"):
+    from .config import load_yaml
+
+    return load_yaml(yaml_path, node)
+
+
+def params_set(yaml_path: str, updates: dict, node: str = "/**"):
+    """Structural YAML patch (the panel regex-patches in place,
+    aos_panel_plugin_params.cpp:59-125; we round-trip the document)."""
+    import yaml
+
+    with open(yaml_path) as f:
+        doc = yaml.safe_load(f) or {}
+    sec = doc.setdefault(node, {}).setdefault("ros__parameters", {})
+    sec.update(updates)
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)
+
+
+def save_map(out_dir: str, world, final_state, rows_sorted=None):
+    from .io.checkpoint import save_cluster_info, save_state
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_state(os.path.join(out_dir, "episode_state"), final_state)
+    if rows_sorted is not None:
+        save_cluster_info(os.path.join(out_dir, "cluster_info"), world.graph, rows_sorted)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from . import engine
+    from .config import TEST_STATICS as S, AosParams, params_as_f32
+    from .orchards import OrchardSpec, make_orchard
+    from .types import PointCloud, Polygon
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--pcd", type=str, default=None, help="replay a PCD map")
+    ap.add_argument("--polygon", type=str, default=None, help="polygon JSON (xy pairs)")
+    ap.add_argument("--params", type=str, default=None, help="aos_planner_params.yaml")
+    ap.add_argument("--out", type=str, default="/tmp/aosx_run")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", type=str, default="default", choices=["default", "cpu"])
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    params = params_as_f32(AosParams() if args.params is None else params_get(args.params)[0])
+
+    if args.pcd:
+        from .io.pcd import load_pcd
+
+        xyz = load_pcd(args.pcd)
+        n = min(len(xyz), S.max_points)
+        buf = np.zeros((S.max_points, 3), np.float32)
+        buf[:n] = xyz[:n]
+        valid = np.zeros(S.max_points, bool)
+        valid[:n] = True
+        pc = PointCloud(xyz=jnp.asarray(buf), valid=jnp.asarray(valid))
+        if args.polygon:
+            poly_np = np.asarray(json.load(open(args.polygon)), np.float32)
+        else:
+            poly_np = np.zeros((0, 2), np.float32)
+        poly = Polygon.from_array(poly_np, S)
+    else:
+        spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
+        pc, poly = make_orchard(jax.random.PRNGKey(args.seed), spec, S)
+
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    world = jax.jit(
+        lambda pc, poly, pr, ex: engine.prepare_world(pc, poly, pr, ex, S, ror_method="exact")
+    )(pc, poly, params, excl)
+    final, metrics = jax.jit(lambda w, p: engine.episode(w, p, S, args.steps))(world, params)
+
+    report = episode_report(final, metrics, S)
+    print(json.dumps(report, indent=2))
+
+    os.makedirs(args.out, exist_ok=True)
+    save_map(args.out, world, final)
+    try:
+        from .io.render import save_episode_figure
+
+        save_episode_figure(
+            os.path.join(args.out, "episode.png"), world, state=final,
+            metrics=jax.tree_util.tree_map(np.asarray, metrics),
+            resolution=S.resolution,
+        )
+        print(f"figure: {args.out}/episode.png")
+    except Exception as e:  # matplotlib optional
+        print("render skipped:", e)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,18 +35,26 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = 2048):
     if method == "mxu":
         sq = jnp.sum(pts_p * pts_p, axis=1)  # [Np]
 
-        def body(carry, j):
-            cnt = carry
-            cols = jax.lax.dynamic_slice(pts_p, (j * block, 0), (block, 3))
-            cols_sq = jax.lax.dynamic_slice(sq, (j * block,), (block,))
-            dots = jnp.dot(
-                pts_p, cols.T, precision=jax.lax.Precision.HIGHEST
-            )  # [Np, B]
-            d2 = sq[:, None] + cols_sq[None, :] - 2.0 * dots
-            cnt = cnt + jnp.sum(d2 <= r2, axis=1)
-            return cnt, None
+        def row_chunk(carry, i):
+            # [block, 3] row tile against ALL columns in col tiles, so the
+            # largest intermediate is [block, block] (f32, a few MB)
+            rows = jax.lax.dynamic_slice(pts_p, (i * block, 0), (block, 3))
+            rows_sq = jax.lax.dynamic_slice(sq, (i * block,), (block,))
 
-        cnt, _ = jax.lax.scan(body, jnp.zeros((nblk * block,), jnp.int32), jnp.arange(nblk))
+            def col_chunk(cc, j):
+                cols = jax.lax.dynamic_slice(pts_p, (j * block, 0), (block, 3))
+                cols_sq = jax.lax.dynamic_slice(sq, (j * block,), (block,))
+                dots = jnp.dot(rows, cols.T, precision=jax.lax.Precision.HIGHEST)
+                d2 = rows_sq[:, None] + cols_sq[None, :] - 2.0 * dots
+                return cc + jnp.sum(d2 <= r2, axis=1), None
+
+            cnt_i, _ = jax.lax.scan(
+                col_chunk, jnp.zeros((block,), jnp.int32), jnp.arange(nblk)
+            )
+            return carry, cnt_i
+
+        _, cnt_chunks = jax.lax.scan(row_chunk, None, jnp.arange(nblk))
+        cnt = cnt_chunks.reshape(-1)
     else:
 
         def body(carry, j):

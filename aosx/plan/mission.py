@@ -188,6 +188,58 @@ def mission_tick(
     return st, wp, should_replan
 
 
+def force_next_waypoint(state: MissionState, wp: Waypoints, params: AosParams):
+    """The /aos/next_waypoint Empty service (cpp:349-416): manual escape
+    hatch that clears the docking freeze and force-advances the target
+    (appending the origin and completing exploration when at the last
+    waypoint). Returns (state, wp, plan_from_current_position: bool)."""
+    waiting_cleared = MissionState(
+        target_wp=state.target_wp,
+        prev_wp=state.prev_wp,
+        initial_reached=state.initial_reached,
+        exploration_completed=state.exploration_completed,
+        waiting_for_docking=jnp.bool_(False),
+        status=state.status,
+        origin_appended=state.origin_appended,
+    )
+    st = waiting_cleared
+    not_ready = ~st.initial_reached
+    at_last = (st.target_wp >= 0) & (st.target_wp >= wp.count - 1)
+    mid = (st.target_wp >= 0) & (st.target_wp < wp.count - 1)
+    unstarted = (st.target_wp < 0) & (wp.count > 0)
+
+    wp2 = _append_origin(wp, params)
+    use_append = ~not_ready & at_last
+    wp = Waypoints(
+        xy=jnp.where(use_append, wp2.xy, wp.xy),
+        node_idx=jnp.where(use_append, wp2.node_idx, wp.node_idx),
+        count=jnp.where(use_append, wp2.count, wp.count),
+    )
+    new_prev = jnp.where(
+        ~not_ready & (at_last | mid), st.target_wp,
+        jnp.where(~not_ready & unstarted, -1, st.prev_wp),
+    )
+    new_target = jnp.where(
+        not_ready, st.target_wp,
+        jnp.where(at_last, wp.count - 1,
+                  jnp.where(mid, st.target_wp + 1,
+                            jnp.where(unstarted, 0, st.target_wp))),
+    )
+    completed = st.exploration_completed | (~not_ready & at_last)
+    status = jnp.where(~not_ready & at_last, 2, st.status)
+    out = MissionState(
+        target_wp=new_target,
+        prev_wp=new_prev,
+        initial_reached=st.initial_reached,
+        exploration_completed=completed,
+        waiting_for_docking=jnp.bool_(False),
+        status=status,
+        origin_appended=st.origin_appended | (~not_ready & at_last),
+    )
+    plan_from_current = ~not_ready & (at_last | mid | unstarted)
+    return out, wp, plan_from_current
+
+
 # ---------------------------------------------------------------------------
 # path planning
 # ---------------------------------------------------------------------------

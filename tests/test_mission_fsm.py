@@ -1,0 +1,141 @@
+"""Mission FSM unit semantics (reference aos_path_gen_node.cpp:195-416):
+docking freeze/advance, origin append, forced advance via the
+/aos/next_waypoint service equivalent, and the failed-planning fallback."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
+from aosx.plan.mission import _append_origin, force_next_waypoint, mission_tick
+from aosx.types import MissionState, Waypoints
+
+
+@pytest.fixture
+def params():
+    return params_as_f32(AosParams())
+
+
+def _wp(points):
+    W = S.max_waypoints
+    xy = np.zeros((W, 2), np.float32)
+    xy[: len(points)] = points
+    ni = np.full(W, -1, np.int32)
+    ni[: len(points)] = np.arange(len(points))
+    return Waypoints(xy=jnp.asarray(xy), node_idx=jnp.asarray(ni), count=jnp.int32(len(points)))
+
+
+def _state(**kw):
+    st = MissionState.initial()
+    return MissionState(**{**{f.name: getattr(st, f.name) for f in
+                              __import__("dataclasses").fields(st)}, **kw})
+
+
+def test_initial_waypoint_reach(params):
+    wp = _wp([[10.0, 5.0], [12.0, 5.0]])
+    st = MissionState.initial()
+    robot = jnp.array([7.5, 0.3], jnp.float32)  # within 1 m of (8,0)
+    st2, wp2, replan = mission_tick(st, wp, robot, jnp.int32(0), params)
+    assert bool(st2.initial_reached)
+    assert int(st2.target_wp) == 0
+    assert int(st2.prev_wp) == -1
+
+
+def test_docking_freeze_and_advance(params):
+    wp = _wp([[10.0, 5.0], [12.0, 5.0], [14.0, 5.0]])
+    st = _state(initial_reached=jnp.bool_(True), target_wp=jnp.int32(0),
+                prev_wp=jnp.int32(-1))
+    # robot within 0.7 m of WP0 -> freeze
+    st2, _, replan = mission_tick(st, wp, jnp.array([10.3, 5.0]), jnp.int32(0), params)
+    assert bool(st2.waiting_for_docking)
+    assert not bool(replan)
+    # mod 3 while frozen -> advance to WP1
+    st3, _, replan = mission_tick(st2, wp, jnp.array([10.05, 5.0]), jnp.int32(3), params)
+    assert int(st3.target_wp) == 1
+    assert int(st3.prev_wp) == 0
+    assert bool(replan)
+
+
+def test_origin_append_on_last(params):
+    wp = _wp([[10.0, 5.0], [12.0, 5.0]])
+    st = _state(initial_reached=jnp.bool_(True), target_wp=jnp.int32(1),
+                prev_wp=jnp.int32(0), waiting_for_docking=jnp.bool_(True))
+    st2, wp2, _ = mission_tick(st, wp, jnp.array([12.0, 5.0]), jnp.int32(3), params)
+    assert bool(st2.exploration_completed)
+    assert int(wp2.count) == 3
+    assert np.allclose(np.asarray(wp2.xy)[2], [0, 0])
+    assert int(np.asarray(wp2.node_idx)[2]) == -1
+    assert int(st2.target_wp) == 2
+    assert int(st2.status) == 2  # Returning...
+
+
+def test_origin_not_duplicated(params):
+    wp = _wp([[10.0, 5.0], [0.05, 0.05]])  # last already ~origin
+    wp2 = _append_origin(wp, params)
+    assert int(wp2.count) == 2
+
+
+def test_force_next_waypoint(params):
+    wp = _wp([[10.0, 5.0], [12.0, 5.0], [14.0, 5.0]])
+    st = _state(initial_reached=jnp.bool_(True), target_wp=jnp.int32(0),
+                prev_wp=jnp.int32(-1), waiting_for_docking=jnp.bool_(True))
+    st2, wp2, from_cur = force_next_waypoint(st, wp, params)
+    assert int(st2.target_wp) == 1
+    assert int(st2.prev_wp) == 0
+    assert not bool(st2.waiting_for_docking)
+    assert bool(from_cur)
+    # at last -> origin append + completed
+    st3 = _state(initial_reached=jnp.bool_(True), target_wp=jnp.int32(2),
+                 prev_wp=jnp.int32(1))
+    st4, wp3, _ = force_next_waypoint(st3, wp, params)
+    assert bool(st4.exploration_completed)
+    assert int(wp3.count) == 4
+    # not yet at the initial waypoint -> refused
+    st5 = MissionState.initial()
+    st6, _, from_cur = force_next_waypoint(st5, wp, params)
+    assert int(st6.target_wp) == int(st5.target_wp)
+    assert not bool(from_cur)
+
+
+def test_failed_planning_keeps_last_path(params):
+    """Graph with no edges -> planning fails -> engine keeps the last path
+    (cpp:1036-1043) and reports status Failed."""
+    from aosx import engine
+    from aosx.types import GridWorld, GvdGraph
+
+    N, E, C = S.max_nodes, S.max_edges, S.max_rows
+    g = GvdGraph(
+        nodes=jnp.zeros((N, 2), jnp.float32),
+        node_valid=jnp.arange(N) < 2,
+        node_labels=jnp.zeros(N, jnp.int32),
+        label_node=jnp.full((C, 4), -1, jnp.int32),
+        edges=jnp.full((E, 2), -1, jnp.int32),
+        edge_valid=jnp.zeros(E, bool),
+        edge_lengths=jnp.zeros(E, jnp.float32),
+        edge_clearances=jnp.zeros(E, jnp.float32),
+        num_nodes=jnp.int32(2),
+        num_edges=jnp.int32(0),
+    )
+    from aosx.plan.astar import cost_matrix
+
+    occ = jnp.zeros((S.grid_h, S.grid_w), jnp.uint8)
+    grid = GridWorld(occ=occ, origin_x=jnp.float32(-5.0), origin_y=jnp.float32(-5.0),
+                     h_cells=jnp.int32(S.grid_h), w_cells=jnp.int32(S.grid_w))
+    wp = _wp([[10.0, 5.0]])
+    world = engine.World(skeleton=grid, occupancy=grid, graph=g,
+                         costmat=cost_matrix(g, S), waypoints=wp)
+    st = engine.initial_state(world, S)
+    step = jax.jit(lambda st, w, p: engine.step(st, w, p, S))
+    st, m = step(st, world, params)      # pre-initial: straight plan published
+    straight_count = int(st.raw_path.count)
+    assert straight_count > 0
+    assert int(m["status"]) == 0
+    # teleport to (8,0): initial reached, graph planning fails
+    st = engine.EngineState(
+        robot=engine.Robot(xy=jnp.array([8.0, 0.0], jnp.float32), yaw=jnp.float32(0)),
+        mission=st.mission, control=st.control, wp=st.wp, plan=st.plan,
+        raw_path=st.raw_path, last_mod=st.last_mod, t=st.t)
+    st, m = step(st, world, params)
+    assert int(m["status"]) == 1                     # Failed
+    assert int(st.raw_path.count) == straight_count  # last path retained

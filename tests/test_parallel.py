@@ -1,0 +1,60 @@
+"""Batch-axis correctness (SURVEY.md section 4 test #4): a vmapped batch of
+one orchard equals the unbatched pipeline exactly, and the shard_map variant
+equals the vmap variant."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx.config import DRYRUN_STATICS as S, AosParams, params_as_f32
+from aosx.orchards import OrchardSpec
+from aosx.parallel.batch import batched_rollouts, rollout_one, sharded_rollouts
+
+SPEC = OrchardSpec(
+    n_rows=2, row_len=4.0, row_spacing=2.0, tree_spacing=1.0,
+    trunk_pts=10, noise_pts=16, origin=(2.0, 2.0), polygon_pad=1.0,
+)
+N_STEPS = 5
+
+
+@pytest.fixture(scope="module")
+def params():
+    return params_as_f32(AosParams())
+
+
+def test_vmap_consistency(params):
+    key = jax.random.PRNGKey(42)
+    single = jax.jit(
+        lambda k: rollout_one(k, SPEC, params, S, N_STEPS, ror_method="exact")
+    )(key)
+    batch = jax.jit(
+        lambda k: batched_rollouts(k, SPEC, params, S, N_STEPS, ror_method="exact")
+    )(key[None])
+    for name in single:
+        a = np.asarray(single[name])
+        b = np.asarray(batch[name])[0]
+        assert np.array_equal(a, b), (name, a, b)
+
+
+def test_shard_map_matches_vmap(params):
+    from jax.sharding import Mesh
+
+    cpus = jax.devices("cpu")
+    n_dev = min(len(cpus), 8)
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(cpus[:n_dev]), ("data",))
+    keys = jax.random.split(jax.random.PRNGKey(7), n_dev)
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(
+            lambda k: batched_rollouts(k, SPEC, params, S, N_STEPS, ror_method="exact")
+        )(keys)
+        out, done = sharded_rollouts(
+            keys, SPEC, params, S, N_STEPS, mesh, ror_method="exact"
+        )
+    for name in ref:
+        a = np.asarray(ref[name])
+        b = np.asarray(out[name])
+        assert np.array_equal(a, b), name
+    assert int(done) == int(np.asarray(ref["completed"]).astype(np.int32).sum())
