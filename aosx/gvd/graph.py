@@ -243,18 +243,25 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     ridge_a = (ekey_s // N).astype(jnp.int32)
     ridge_b = (ekey_s % N).astype(jnp.int32)
 
-    # crossing filter
-    pa = pos[jnp.minimum(ridge_a, N - 1)]
-    pb = pos[jnp.minimum(ridge_b, N - 1)]
-    crossing = _edge_crossing(grid, pa, pb, ridge_valid, s)
-    ridge_valid = ridge_valid & ~crossing
-
-    # compact ridge edges (cap E)
+    # compact ridge candidates FIRST (cap E), then crossing-filter only the
+    # compacted set (the raw candidate list is 6N long, mostly padding)
     rrank = jnp.cumsum(ridge_valid.astype(jnp.int32)) - 1
     rtgt = jnp.where(ridge_valid & (rrank < E), rrank, E)
     edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_a, mode="drop")[:E]
     edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_b, mode="drop")[:E]
-    n_ridge = jnp.minimum(jnp.sum(ridge_valid.astype(jnp.int32)), E)
+    n_ridge_cand = jnp.minimum(jnp.sum(ridge_valid.astype(jnp.int32)), E)
+    rvalid = jnp.arange(E) < n_ridge_cand
+    pa = pos[jnp.maximum(edges_a, 0)]
+    pb = pos[jnp.maximum(edges_b, 0)]
+    crossing = _edge_crossing(grid, pa, pb, rvalid, s)
+    rvalid = rvalid & ~crossing
+    # re-compact surviving ridge edges (keeps sorted-key order)
+    rrank2 = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
+    rtgt2 = jnp.where(rvalid & (rrank2 < E), rrank2, E)
+    ridge_keys_sorted = jnp.where(rvalid, edges_a * N + edges_b, jnp.int32(N) * N)
+    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_a, mode="drop")[:E]
+    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_b, mode="drop")[:E]
+    n_ridge = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), E)
 
     # ---- proximity edges <= 0.5 m (cpp:861-894) ---------------------------
     # pairwise over nodes; (i < j) lexicographic order like the reference
@@ -266,25 +273,27 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     iidx = jnp.arange(N)
     t = jnp.asarray(params.proximity_edge_dist, jnp.float32)
     prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > iidx[:, None])
-    # not already a ridge edge: ridge keys set membership via sorted search
     pi = jnp.broadcast_to(iidx[:, None], (N, N)).reshape(-1)
     pj = jnp.broadcast_to(iidx[None, :], (N, N)).reshape(-1)
-    pkey = pi * N + pj
-    in_ridge = jnp.isin(pkey, jnp.where(ridge_valid, ekey_s, jnp.int32(N) * N),
-                        assume_unique=False)
-    prox_flat = prox.reshape(-1) & ~in_ridge
-    ppa = pos[jnp.minimum(pi, N - 1)]
-    ppb = pos[jnp.minimum(pj, N - 1)]
-    # crossing filter only for candidates (compact first to bound work)
+    prox_flat = prox.reshape(-1)
+    # compact candidates FIRST; the ridge-duplicate test then only touches
+    # the compacted set (a full-N^2 membership test was the hot spot)
     PE = E
     prank = jnp.cumsum(prox_flat.astype(jnp.int32)) - 1
     ptgt = jnp.where(prox_flat & (prank < PE), prank, PE)
-    cpa = jnp.zeros((PE + 1, 2), jnp.float32).at[ptgt].set(ppa, mode="drop")[:PE]
-    cpb = jnp.zeros((PE + 1, 2), jnp.float32).at[ptgt].set(ppb, mode="drop")[:PE]
     cpi = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pi.astype(jnp.int32), mode="drop")[:PE]
     cpj = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pj.astype(jnp.int32), mode="drop")[:PE]
     n_prox_cand = jnp.minimum(jnp.sum(prox_flat.astype(jnp.int32)), PE)
     pvalid = jnp.arange(PE) < n_prox_cand
+    # not already a surviving ridge edge (the reference only records edges
+    # that passed the crossing filter in added_edges; cpp:844-857)
+    skeys = jnp.sort(jnp.where(jnp.arange(E) < n_ridge, edges_a * N + edges_b, jnp.int32(N) * N))
+    ckeys = jnp.where(pvalid, cpi * N + cpj, jnp.int32(N) * N - 1)
+    loc = jnp.searchsorted(skeys, ckeys)
+    in_ridge = (loc < E) & (skeys[jnp.minimum(loc, E - 1)] == ckeys)
+    pvalid = pvalid & ~in_ridge
+    cpa = pos[jnp.maximum(cpi, 0)]
+    cpb = pos[jnp.maximum(cpj, 0)]
     pcross = _edge_crossing(grid, cpa, cpb, pvalid, s, n_samples=32)
     pvalid = pvalid & ~pcross
 

@@ -32,7 +32,11 @@ def _median_ms(thunk, reps=5):
 
 
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from aosx import engine
@@ -47,7 +51,7 @@ def main():
         n_rows=20,
         row_len=180.0,
         row_spacing=9.0,
-        tree_spacing=1.5,
+        tree_spacing=1.0,
         trunk_pts=24,
         noise_pts=512,
         origin=(8.0, 8.0),
