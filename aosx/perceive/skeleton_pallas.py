@@ -42,27 +42,21 @@ def _band_height(grid_h: int) -> int:
 
 def _subiter_band(p, phase: int, deletable):
     """One Zhang-Suen sub-iteration on a [R, W] band value; shifts via
-    pltpu.roll + edge masks (zero outside the buffer)."""
+    static slice + zero-row/col concat (Mosaic has no i8 sublane rotate)."""
     R, W = p.shape
-    iy = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
     def sh(dy, dx):
+        # out[y, x] = p[y - dy, x - dx], zero outside the buffer
         out = p
-        if dy != 0:
-            out = pltpu.roll(out, dy % R, 0)  # circular; negative == R + dy
-        if dx != 0:
-            out = pltpu.roll(out, dx % W, 1)
-        bad = jnp.zeros((R, W), jnp.bool_)
         if dy > 0:
-            bad |= iy < dy
+            out = jnp.concatenate([jnp.zeros((dy, W), out.dtype), out[: R - dy, :]], 0)
         elif dy < 0:
-            bad |= iy >= R + dy
+            out = jnp.concatenate([out[-dy:, :], jnp.zeros((-dy, W), out.dtype)], 0)
         if dx > 0:
-            bad |= ix < dx
+            out = jnp.concatenate([jnp.zeros((R, dx), out.dtype), out[:, : W - dx]], 1)
         elif dx < 0:
-            bad |= ix >= W + dx
-        return jnp.where(bad, jnp.uint8(0), out)
+            out = jnp.concatenate([out[:, -dx:], jnp.zeros((R, -dx), out.dtype)], 1)
+        return out
 
     p2 = sh(1, 0)
     p3 = sh(1, -1)
@@ -115,8 +109,11 @@ def _make_iteration(H: int, W: int, bh: int, nbands: int, interpret: bool):
         q = _subiter_band(q, 1, interior & band_rows)
         out = q[HALO : bh + HALO, :]
         out_ref[:] = out
-        changed = jnp.any(out != p[HALO : bh + HALO, :]).astype(jnp.int32)
-        flag_ref[:] = jnp.broadcast_to(changed, flag_ref.shape)
+        # i32 sum instead of an i1 any-reduction (Mosaic relayout limitation)
+        n_changed = jnp.sum(
+            (out != p[HALO : bh + HALO, :]).astype(jnp.int32)
+        )
+        flag_ref[:] = jnp.full(flag_ref.shape, n_changed, jnp.int32)
 
     def one_iteration(bounds, padded):
         return pl.pallas_call(

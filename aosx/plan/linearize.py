@@ -199,22 +199,40 @@ def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     oxy = jnp.where(ocount > 0, oxy.at[0].set(start_pt), oxy)
     oxy = jnp.where(ocount > 0, oxy.at[jnp.maximum(ocount - 1, 0)].set(end_pt), oxy)
 
-    # ---- backtracking removal (cpp:336-369): sequential scan ---------------
-    def body(i, st):
-        keep, prev2, prev1, nkept = st
-        c = oxy[i]
-        d1 = prev1 - prev2
-        d2 = c - prev1
-        back = (nkept > 1) & (jnp.sum(d1 * d2) < -0.01)
-        k = (i < ocount) & ~back
-        keep = keep.at[i].set(k)
-        prev2 = jnp.where(k & (nkept >= 1), prev1, prev2)
-        prev1 = jnp.where(k, c, prev1)
-        nkept = nkept + k.astype(jnp.int32)
-        return keep, prev2, prev1, nkept
+    # ---- backtracking removal (cpp:336-369): sequential scan. Fast path:
+    # interpolated points within a segment are collinear, so reversals can
+    # only exist at segment joints; when the vectorized triple check finds
+    # none, the whole path is kept and the sequential scan is skipped.
+    prev_pt = jnp.roll(oxy, 1, axis=0)
+    next_pt = jnp.roll(oxy, -1, axis=0)
+    idxq = jnp.arange(Q)
+    triple_ok = (idxq >= 1) & (idxq < ocount - 1)
+    rev = triple_ok & (
+        jnp.sum((oxy - prev_pt) * (next_pt - oxy), axis=1) < -0.01
+    )
+    any_reversal = jnp.any(rev)
 
-    keep, _, _, nkept = jax.lax.fori_loop(
-        0, Q, body, (jnp.zeros((Q,), bool), jnp.zeros(2), jnp.zeros(2), jnp.int32(0))
+    def seq_scan(oxy):
+        def body(i, st):
+            keep, prev2, prev1, nkept = st
+            c = oxy[i]
+            d1 = prev1 - prev2
+            d2 = c - prev1
+            back = (nkept > 1) & (jnp.sum(d1 * d2) < -0.01)
+            k = (i < ocount) & ~back
+            keep = keep.at[i].set(k)
+            prev2 = jnp.where(k & (nkept >= 1), prev1, prev2)
+            prev1 = jnp.where(k, c, prev1)
+            nkept = nkept + k.astype(jnp.int32)
+            return keep, prev2, prev1, nkept
+
+        keep, _, _, _ = jax.lax.fori_loop(
+            0, Q, body, (jnp.zeros((Q,), bool), jnp.zeros(2), jnp.zeros(2), jnp.int32(0))
+        )
+        return keep
+
+    keep = jax.lax.cond(
+        any_reversal, seq_scan, lambda o: jnp.arange(Q) < ocount, oxy
     )
     skip_removal = ocount <= 2
     keep = jnp.where(skip_removal, jnp.arange(Q) < ocount, keep)
