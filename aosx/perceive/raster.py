@@ -76,12 +76,9 @@ def generate_grid(xy, keep, bounds, s: Statics) -> GridWorld:
     )
 
 
-def inflate(grid: GridWorld, s: Statics) -> GridWorld:
-    """applyInflation (aos_seed_gen_node.cpp:933-967): binary dilation with
-    the disc dx^2 + dy^2 <= ic^2, ic = int(inflation_radius / resolution)."""
-    ic = s.inflation_cells
-    occ = grid.occ
-    # horizontal dilations H_k, half-width k (incremental)
+def dilate_disc(occ, ic: int):
+    """Binary dilation with the disc dx^2 + dy^2 <= ic^2 via the separable
+    horizontal-dilation decomposition (no live-region masking)."""
     H = [occ]
     cur = occ
     for k in range(1, ic + 1):
@@ -92,6 +89,13 @@ def inflate(grid: GridWorld, s: Statics) -> GridWorld:
         w = int(math.floor(math.sqrt(ic * ic - dy * dy)))
         band = H[w]
         out = jnp.maximum(out, jnp.maximum(shift2d(band, dy, 0), shift2d(band, -dy, 0)))
+    return out
+
+
+def inflate(grid: GridWorld, s: Statics) -> GridWorld:
+    """applyInflation (aos_seed_gen_node.cpp:933-967): binary dilation with
+    the disc dx^2 + dy^2 <= ic^2, ic = int(inflation_radius / resolution)."""
+    out = dilate_disc(grid.occ, s.inflation_cells)
     out = jnp.where(live_mask(grid), out, jnp.uint8(0))
     return GridWorld(out, grid.origin_x, grid.origin_y, grid.h_cells, grid.w_cells)
 

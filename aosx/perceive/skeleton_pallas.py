@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import Statics
 from ..types import GridWorld
 
-HALO = 2
+HALO = 4  # rows of padding each side; sub-iterations need 2, 4 keeps DMA
+# slices 8-row aligned (Mosaic tiling requirement: R = bh + 2*HALO % 8 == 0)
 
 
 def _band_height(grid_h: int) -> int:

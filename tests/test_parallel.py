@@ -58,3 +58,27 @@ def test_shard_map_matches_vmap(params):
         b = np.asarray(out[name])
         assert np.array_equal(a, b), name
     assert int(done) == int(np.asarray(ref["completed"]).astype(np.int32).sum())
+
+
+def test_spatial_sharded_inflation():
+    """Row-sharded inflation with ppermute halo exchange == single-device."""
+    from jax.sharding import Mesh
+    from aosx.parallel.spatial import inflate_sharded
+    from aosx.perceive.raster import inflate
+    from aosx.types import GridWorld
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(cpus[:4]), ("space",))
+    rng = np.random.default_rng(11)
+    occ = (rng.random((S.grid_h, S.grid_w)) < 0.01).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0), origin_y=jnp.float32(0),
+        h_cells=jnp.int32(S.grid_h - 7), w_cells=jnp.int32(S.grid_w - 13),
+    )
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(lambda g: inflate(g, S))(grid)
+        got = jax.jit(lambda g: inflate_sharded(g, S, mesh))(grid)
+    assert np.array_equal(np.asarray(ref.occ), np.asarray(got.occ))
