@@ -142,16 +142,13 @@ def extract_vertices(grid: GridWorld, owner, s: Statics):
     ]
 
     N = s.max_nodes
-    pos_flat = jnp.cumsum(masks.astype(jnp.int32)) - 1
-    tgt = jnp.where(masks & (pos_flat < N), pos_flat, N)
-    n_nodes = jnp.minimum(jnp.sum(masks.astype(jnp.int32)), N)
+    from ..ops import compact_take, compact_true
 
-    def compact(vals, fill):
-        out = jnp.full((N + 1,), fill, vals.dtype)
-        return out.at[tgt].set(vals, mode="drop")[:N]
-
-    pos = jnp.stack([compact(pxs, 0.0), compact(pys, 0.0)], axis=1)
-    owners = jnp.stack([compact(o, -1) for o in ow], axis=1)
+    sel, n_nodes = compact_true(masks, N)
+    pos = jnp.stack(
+        [compact_take(pxs, sel, 0.0), compact_take(pys, sel, 0.0)], axis=1
+    )
+    owners = jnp.stack([compact_take(o, sel, -1) for o in ow], axis=1)
     # mask duplicate owners within a vertex to -1 (so pair keys are unique)
     a = owners
     for k in range(1, 4):
@@ -273,17 +270,15 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     iidx = jnp.arange(N)
     t = jnp.asarray(params.proximity_edge_dist, jnp.float32)
     prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > iidx[:, None])
-    pi = jnp.broadcast_to(iidx[:, None], (N, N)).reshape(-1)
-    pj = jnp.broadcast_to(iidx[None, :], (N, N)).reshape(-1)
     prox_flat = prox.reshape(-1)
-    # compact candidates FIRST; the ridge-duplicate test then only touches
-    # the compacted set (a full-N^2 membership test was the hot spot)
+    # compact candidates FIRST (top_k compaction; a full-N^2 scatter or
+    # membership test was the hot spot)
+    from ..ops import compact_true
+
     PE = E
-    prank = jnp.cumsum(prox_flat.astype(jnp.int32)) - 1
-    ptgt = jnp.where(prox_flat & (prank < PE), prank, PE)
-    cpi = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pi.astype(jnp.int32), mode="drop")[:PE]
-    cpj = jnp.full((PE + 1,), -1, jnp.int32).at[ptgt].set(pj.astype(jnp.int32), mode="drop")[:PE]
-    n_prox_cand = jnp.minimum(jnp.sum(prox_flat.astype(jnp.int32)), PE)
+    psel, n_prox_cand = compact_true(prox_flat, PE)
+    cpi = jnp.where(psel >= 0, psel // N, -1)
+    cpj = jnp.where(psel >= 0, psel % N, -1)
     pvalid = jnp.arange(PE) < n_prox_cand
     # not already a surviving ridge edge (the reference only records edges
     # that passed the crossing filter in added_edges; cpp:844-857)

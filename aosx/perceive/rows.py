@@ -38,16 +38,12 @@ def compact_cells(mask, s: Statics):
     Returns (cell_flat [M] i32 flat index or -1, cell_ok [M] bool,
     inv [H*W+1] i32 mapping flat index -> compact index (M if not a cell)).
     """
+    from ..ops import compact_true
+
     h, w = mask.shape
     M = s.max_skel_cells
     flat = mask.reshape(-1)
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat & (pos < M), pos, M)
-    cell_flat = (
-        jnp.full((M + 1,), -1, jnp.int32)
-        .at[tgt]
-        .set(jnp.arange(h * w, dtype=jnp.int32), mode="drop")[:M]
-    )
+    cell_flat, _ = compact_true(flat, M)
     cell_ok = cell_flat >= 0
     inv_tgt = jnp.where(cell_ok, cell_flat, h * w)
     inv = (

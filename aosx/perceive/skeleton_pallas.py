@@ -71,7 +71,7 @@ def _subiter_band(p, phase: int, deletable):
     A = jnp.zeros((R, W), jnp.int32)
     for a, b in zip(seq[:-1], seq[1:]):
         A += ((a == 0) & (b == 1)).astype(jnp.int32)
-    B = p2.astype(jnp.int32) + p3 + p4 + p5 + p6 + p7 + p8 + p9
+    B = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9
     if phase == 0:
         m1 = p2 * p4 * p6
         m2 = p4 * p6 * p8
@@ -81,7 +81,7 @@ def _subiter_band(p, phase: int, deletable):
     delete = (
         (A == 1) & (B >= 2) & (B <= 6) & (m1 == 0) & (m2 == 0) & (p == 1) & deletable
     )
-    return jnp.where(delete, jnp.uint8(0), p)
+    return jnp.where(delete, jnp.zeros((), p.dtype), p)
 
 
 def _make_iteration(H: int, W: int, bh: int, nbands: int, interpret: bool):
@@ -96,7 +96,8 @@ def _make_iteration(H: int, W: int, bh: int, nbands: int, interpret: bool):
         )
         cp.start()
         cp.wait()
-        p = scratch[:]
+        # all in-kernel logic in i32 (v5e Mosaic rejects u8 comparisons)
+        p = scratch[:].astype(jnp.int32)
         iy_global = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0) + band * bh - HALO
         ix = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
         interior = (
@@ -109,7 +110,7 @@ def _make_iteration(H: int, W: int, bh: int, nbands: int, interpret: bool):
         q = _subiter_band(p, 0, interior & ring1)
         q = _subiter_band(q, 1, interior & band_rows)
         out = q[HALO : bh + HALO, :]
-        out_ref[:] = out
+        out_ref[:] = out.astype(jnp.uint8)
         # i32 sum instead of an i1 any-reduction (Mosaic relayout limitation)
         n_changed = jnp.sum(
             (out != p[HALO : bh + HALO, :]).astype(jnp.int32)
