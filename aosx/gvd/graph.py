@@ -121,25 +121,41 @@ def extract_vertices(grid: GridWorld, owner, s: Statics):
     lef = (ix == 0) & (iy < grid.h_cells - 1) & (o00 != o10) & (o00 >= 0) & (o10 >= 0)
     rig = (ix == grid.w_cells - 1) & (iy < grid.h_cells - 1) & (o00 != o10) & (o00 >= 0) & (o10 >= 0)
 
-    # candidate planes: interior, then borders (deterministic raster order each)
-    planes = []
-    planes.append((is_vertex, vx, vy, o00, o01, o10, o11))
+    # candidates: the interior plane [H*W] plus 4 border VECTORS (the border
+    # sets live on single rows/columns; keeping them as [H,W] planes made the
+    # compaction input 5x larger for nothing)
     topy = grid.origin_y + grid.h_cells.astype(jnp.float32) * res
-    planes.append((top, vx, jnp.full((h, w), 1.0) * topy, o00, o01, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
-    boty = jnp.full((h, w), 1.0) * grid.origin_y
-    planes.append((bot, vx, boty, o00, o01, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
-    lefx = jnp.full((h, w), 1.0) * grid.origin_x
-    planes.append((lef, lefx, vy, o00, o10, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+    boty = jnp.zeros(()) + grid.origin_y
+    lefx = jnp.zeros(()) + grid.origin_x
     rigx = grid.origin_x + grid.w_cells.astype(jnp.float32) * res
-    planes.append((rig, jnp.full((h, w), 1.0) * rigx, vy, o00, o10, S_NONE + jnp.zeros((h, w), jnp.int32), S_NONE + jnp.zeros((h, w), jnp.int32)))
+    hm1 = jnp.clip(grid.h_cells - 1, 0, h - 1)
+    wm1 = jnp.clip(grid.w_cells - 1, 0, w - 1)
 
-    masks = jnp.concatenate([p[0].reshape(-1) for p in planes])
-    pxs = jnp.concatenate([p[1].astype(jnp.float32).reshape(-1) for p in planes])
-    pys = jnp.concatenate([p[2].astype(jnp.float32).reshape(-1) for p in planes])
-    ow = [
-        jnp.concatenate([jnp.broadcast_to(p[3 + k], (h, w)).reshape(-1) for p in planes])
-        for k in range(4)
+    def row_at(plane, r):
+        return jax.lax.dynamic_index_in_dim(plane, r, axis=0, keepdims=False)
+
+    def col_at(plane, c):
+        return jax.lax.dynamic_index_in_dim(plane, c, axis=1, keepdims=False)
+
+    none_w = jnp.full((w,), -1, jnp.int32)
+    none_h = jnp.full((h,), -1, jnp.int32)
+    segs = [
+        # (mask, px, py, owner0, owner1, owner2, owner3), flattened in order
+        (is_vertex.reshape(-1), vx.reshape(-1), vy.reshape(-1),
+         o00.reshape(-1), o01.reshape(-1), o10.reshape(-1), o11.reshape(-1)),
+        (row_at(top, hm1), row_at(vx, hm1), jnp.full((w,), 1.0) * topy,
+         row_at(o00, hm1), row_at(o01, hm1), none_w, none_w),
+        (bot[0], vx[0], jnp.full((w,), 1.0) * boty,
+         o00[0], o01[0], none_w, none_w),
+        (lef[:, 0], jnp.full((h,), 1.0) * lefx, vy[:, 0],
+         o00[:, 0], o10[:, 0], none_h, none_h),
+        (col_at(rig, wm1), jnp.full((h,), 1.0) * rigx, col_at(vy, wm1),
+         col_at(o00, wm1), col_at(o10, wm1), none_h, none_h),
     ]
+    masks = jnp.concatenate([p[0] for p in segs])
+    pxs = jnp.concatenate([p[1].astype(jnp.float32) for p in segs])
+    pys = jnp.concatenate([p[2].astype(jnp.float32) for p in segs])
+    ow = [jnp.concatenate([p[3 + k] for p in segs]) for k in range(4)]
 
     N = s.max_nodes
     from ..ops import compact_take, compact_true
@@ -250,7 +266,22 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     rvalid = jnp.arange(E) < n_ridge_cand
     pa = pos[jnp.maximum(edges_a, 0)]
     pb = pos[jnp.maximum(edges_b, 0)]
-    crossing = _edge_crossing(grid, pa, pb, rvalid, s)
+    # two-tier sampling: 64 samples suffice for edges <= 63*res/2 (the vast
+    # majority); only the rare long edges re-check at 256 samples
+    from ..ops import compact_true as _ct
+
+    T1 = 64
+    length = jnp.sqrt(jnp.sum((pb - pa) ** 2, axis=1))
+    num = (length / (s.resolution * 0.5)).astype(jnp.int32) + 1
+    short = num <= T1 - 1
+    cross1 = _edge_crossing(grid, pa, pb, rvalid & short, s, n_samples=T1)
+    T2 = 2048
+    lsel, _ = _ct(rvalid & ~short, T2)
+    la = pos[jnp.maximum(edges_a[jnp.maximum(lsel, 0)], 0)]
+    lb = pos[jnp.maximum(edges_b[jnp.maximum(lsel, 0)], 0)]
+    cross2 = _edge_crossing(grid, la, lb, lsel >= 0, s, n_samples=256)
+    crossing = cross1
+    crossing = crossing.at[jnp.where(lsel >= 0, lsel, E)].set(cross2, mode="drop")
     rvalid = rvalid & ~crossing
     # re-compact surviving ridge edges (keeps sorted-key order)
     rrank2 = jnp.cumsum(rvalid.astype(jnp.int32)) - 1

@@ -19,6 +19,7 @@ def compact_true(mask_flat, k: int):
     Returns (indices [k] i32, -1 padded; count i32).
     """
     n = mask_flat.shape[0]
+    k = min(k, n)
     prio = jnp.where(mask_flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     neg_vals, _ = jax.lax.top_k(-prio, k)   # descending -> prio ascending
     sel = -neg_vals

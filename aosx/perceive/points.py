@@ -18,7 +18,11 @@ from ..geom import active_bounds, point_in_polygon
 from ..types import PointCloud, Polygon
 
 
-def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = 2048):
+def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
+    if block is None:
+        # big tiles for the MXU path: per-iteration loop overhead dominates
+        # small tiles on TPU; [8192, 8192] f32 d2 tiles are ~256 MB, fine
+        block = 8192 if method == "mxu" else 2048
     """Number of OTHER valid points within `radius` (3D), per point."""
     n = xyz.shape[0]
     big = jnp.float32(1e9)

@@ -83,27 +83,34 @@ def greedy_dedupe(xy, valid, thresh, *, block: int = 1024):
 def raycast_bounded(grid: GridWorld, start, direction, active, max_dist, min_dist, s: Statics):
     """raycastToOccupiedCell (cpp:1730-1771): step = res/2, first occupied
     sample at distance >= min_dist wins; worldToGrid CLAMPS out-of-bounds.
-    start/direction: [N,2]. Returns (hit [N], hit_xy [N,2])."""
+    start/direction: [N,2]. Returns (hit [N], hit_xy [N,2]).
+
+    Fully step-vectorized (one [N, n_steps] gather, first hit by argmax) -
+    a sequential march costs n_steps device-loop iterations.
+
+    The reference accumulates `cur += dir * step`; k steps of that f64
+    accumulation equal start + dir * (k * step) up to float error, and we
+    reproduce the position as start + dir*k*step (f32). Sample positions can
+    differ from the reference by < 1e-5 m (documented deviation)."""
     res = jnp.float32(s.resolution)
     step = s.resolution * 0.5
     n_steps = int(max_dist / step)  # max_dist must be a static float
     occ_ext = edge_replicated(grid)
     H, W = occ_ext.shape
 
-    def body(i, state):
-        cur, hit, hit_xy = state
-        cur = cur + direction * step
-        d = jnp.sqrt(jnp.sum((cur - start) ** 2, axis=1))
-        gx = jnp.clip(jnp.floor((cur[:, 0] - grid.origin_x) / res).astype(jnp.int32), 0, W - 1)
-        gy = jnp.clip(jnp.floor((cur[:, 1] - grid.origin_y) / res).astype(jnp.int32), 0, H - 1)
-        occ = occ_ext[gy, gx] == 1
-        new = active & ~hit & (d >= min_dist) & occ
-        hit_xy = jnp.where(new[:, None], cur, hit_xy)
-        return cur, hit | new, hit_xy
-
-    cur0 = start
-    hit0 = jnp.zeros(start.shape[0], bool)
-    _, hit, hit_xy = jax.lax.fori_loop(0, n_steps, body, (cur0, hit0, jnp.zeros_like(start)))
+    k = jnp.arange(1, n_steps + 1, dtype=jnp.float32)[None, :]       # [1,T]
+    px = start[:, 0:1] + direction[:, 0:1] * (k * step)               # [N,T]
+    py = start[:, 1:2] + direction[:, 1:2] * (k * step)
+    d = k * step * jnp.sqrt(jnp.sum(direction * direction, axis=1))[:, None]
+    gx = jnp.clip(jnp.floor((px - grid.origin_x) / res).astype(jnp.int32), 0, W - 1)
+    gy = jnp.clip(jnp.floor((py - grid.origin_y) / res).astype(jnp.int32), 0, H - 1)
+    occ = occ_ext[gy, gx] == 1
+    cand = occ & (d >= min_dist) & active[:, None]
+    hit = jnp.any(cand, axis=1)
+    first = jnp.argmax(cand, axis=1)
+    rows = jnp.arange(start.shape[0])
+    hit_xy = jnp.stack([px[rows, first], py[rows, first]], axis=1)
+    hit_xy = jnp.where(hit[:, None], hit_xy, 0.0)
     return hit, hit_xy
 
 
@@ -129,6 +136,9 @@ def cast_rays_unbounded(
 
     # default result: terminal point at abs_max, clamped (cpp:1874-1890)
     result0 = clamp(start + direction * abs_max)
+    N = start.shape[0]
+    CH = 256  # steps evaluated per while iteration (vectorized chunk)
+    Hc, Wc = grid.occ.shape
 
     def cond(state):
         dist, done, _ = state
@@ -136,27 +146,32 @@ def cast_rays_unbounded(
 
     def body(state):
         dist, done, result = state
-        p = start + direction * dist[:, None]
-        inb = (
-            (p[:, 0] >= minx) & (p[:, 0] <= maxx) & (p[:, 1] >= miny) & (p[:, 1] <= maxy)
-        )
+        k = jnp.arange(CH, dtype=jnp.float32)[None, :]
+        dk = dist[:, None] + k * step                          # [N,CH]
+        px = start[:, 0:1] + direction[:, 0:1] * dk
+        py = start[:, 1:2] + direction[:, 1:2] * dk
+        inb = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
         # C-truncation cast toward zero (cpp:1821-1822)
-        mx = ((p[:, 0] - grid.origin_x) / res).astype(jnp.int32)
-        my = ((p[:, 1] - grid.origin_y) / res).astype(jnp.int32)
+        mx = ((px - grid.origin_x) / res).astype(jnp.int32)
+        my = ((py - grid.origin_y) / res).astype(jnp.int32)
         ing = (mx >= 0) & (mx < grid.w_cells) & (my >= 0) & (my < grid.h_cells)
         occ = (
-            grid.occ[jnp.clip(my, 0, grid.occ.shape[0] - 1),
-                     jnp.clip(mx, 0, grid.occ.shape[1] - 1)]
-            == 1
+            grid.occ[jnp.clip(my, 0, Hc - 1), jnp.clip(mx, 0, Wc - 1)] == 1
         ) & ing
-        exit_now = ~done & ~inb
-        hit_now = ~done & inb & occ
-        result = jnp.where(exit_now[:, None], clamp(p), result)
-        result = jnp.where(hit_now[:, None], p, result)
-        done = done | exit_now | hit_now
-        return dist + step, done, result
+        within = dk <= abs_max
+        event = (~inb | occ) & within
+        has = jnp.any(event, axis=1)
+        first = jnp.argmax(event, axis=1)
+        rows = jnp.arange(N)
+        ep = jnp.stack([px[rows, first], py[rows, first]], axis=1)
+        e_inb = inb[rows, first]
+        fire = ~done & has
+        result = jnp.where((fire & ~e_inb)[:, None], clamp(ep), result)
+        result = jnp.where((fire & e_inb)[:, None], ep, result)
+        done = done | fire
+        return dist + CH * step, done, result
 
-    dist0 = jnp.full((start.shape[0],), jnp.float32(min_dist))
+    dist0 = jnp.full((N,), jnp.float32(min_dist))
     done0 = ~active
     _, _, result = jax.lax.while_loop(cond, body, (dist0, done0, result0))
     return result

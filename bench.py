@@ -3,8 +3,9 @@ control step latency on a 200 x 200 m grid at 0.1 m resolution (2000 x 2000
 cells), HBM-resident, on one TPU chip.
 
 Staged jits (perceive / graph / plan+control) so each program compiles
-quickly and the per-stage split is visible on stderr; the reported metric is
-the summed step.
+tractably; every stage returns an in-jit scalar probe and timing fetches only
+that scalar (on the axon backend, block_until_ready does not reliably block
+and fetching large leaves times the tunnel, not the chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = (1 ms north-star target) / measured, so >= 1.0 beats the
@@ -19,20 +20,9 @@ import time
 import numpy as np
 
 
-def _median_ms(thunk, reps=5):
-    import jax
-
-    jax.block_until_ready(thunk())  # compile + warm
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(thunk())
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
-
-
 def main():
     import os
+
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
 
@@ -63,14 +53,30 @@ def main():
     params = params_as_f32(AosParams())
     excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
 
+    def probe(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return jnp.sum(leaf.astype(jnp.float32).ravel()[:65536])
+
+    def median_ms(g, *args, reps=5):
+        out = g(*args)
+        float(out[-1])  # compile + sync on the scalar probe
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = g(*args)
+            float(out[-1])
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return out, float(np.median(ts))
+
     t_start = time.time()
 
     @jax.jit
     def stage_perceive(pc, poly, params, excl):
-        return perceive(pc, poly, params, excl, S, ror_method="mxu")
+        out = perceive(pc, poly, params, excl, S, ror_method="mxu")
+        return out, probe(out.seeds.xy)
 
-    out = jax.block_until_ready(stage_perceive(pc, poly, params, excl))
-    print(f"# perceive compiled ({time.time() - t_start:.0f}s); "
+    (out, _), t_perceive = median_ms(stage_perceive, pc, poly, params, excl)
+    print(f"# perceive ok ({time.time() - t_start:.0f}s) "
           f"seeds={int(np.asarray(out.seeds.valid).sum())} "
           f"rows={int(np.asarray(out.rows.valid).sum())}", file=sys.stderr)
 
@@ -79,12 +85,11 @@ def main():
         g = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, S)
         cm = cost_matrix(g, S)
         wp = build_waypoints(g, params, S)
-        return g, cm, wp
+        return (g, cm, wp), probe(wp.xy)
 
-    g, cm, wp = jax.block_until_ready(stage_graph(out, params))
-    print(f"# graph compiled ({time.time() - t_start:.0f}s); "
-          f"nodes={int(g.num_nodes)} edges={int(g.num_edges)} "
-          f"waypoints={int(wp.count)}", file=sys.stderr)
+    ((g, cm, wp), _), t_graph = median_ms(stage_graph, out, params)
+    print(f"# graph ok ({time.time() - t_start:.0f}s) nodes={int(g.num_nodes)} "
+          f"edges={int(g.num_edges)} waypoints={int(wp.count)}", file=sys.stderr)
 
     @jax.jit
     def stage_plan(out, g, cm, wp, params):
@@ -94,14 +99,9 @@ def main():
         )
         st0 = engine.initial_state(world, S)
         st1, metrics = engine.step(st0, world, params, S)
-        return metrics["mod"], metrics["plan_len"]
+        return metrics["plan_len"].astype(jnp.float32) + metrics["mod"]
 
-    jax.block_until_ready(stage_plan(out, g, cm, wp, params))
-    print(f"# plan compiled ({time.time() - t_start:.0f}s)", file=sys.stderr)
-
-    t_perceive = _median_ms(lambda: stage_perceive(pc, poly, params, excl))
-    t_graph = _median_ms(lambda: stage_graph(out, params))
-    t_plan = _median_ms(lambda: stage_plan(out, g, cm, wp, params))
+    _, t_plan = median_ms(lambda *a: (stage_plan(*a),), out, g, cm, wp, params)
     value = t_perceive + t_graph + t_plan
     print(
         f"# stages ms: perceive={t_perceive:.2f} graph={t_graph:.2f} "
