@@ -88,6 +88,10 @@ class Statics:
     skeleton_max_iters: int = 64       # Zhang-Suen outer iterations cap
     ccl_max_iters: int = 32            # connected-components pointer jumping
 
+    # JFA shift lowering: static unroll is ~4x faster on TPU but slow to
+    # compile on CPU; dynamic (fori + roll) is the reverse. Same results.
+    jfa_dynamic_shifts: bool = False
+
     def __post_init__(self):
         object.__setattr__(self, "grid_h", _round_up(self.grid_h, 8))
         object.__setattr__(self, "grid_w", _round_up(self.grid_w, 128))
@@ -116,6 +120,7 @@ TEST_STATICS = Statics(
     max_waypoints=20,
     max_path=64,
     max_plan=2048,
+    jfa_dynamic_shifts=True,
 )
 
 # Tiny config for multi-chip dry runs (compiles in seconds on CPU devices).
@@ -149,8 +154,8 @@ BENCH_STATICS = Statics(
     max_rows=32,
     max_seeds_per_row=192,
     max_seeds=4096,
-    max_nodes=4096,
-    max_edges=16384,
+    max_nodes=8192,
+    max_edges=32768,
     max_path=768,
     max_plan=4096,
 )

@@ -198,6 +198,47 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics):
     return new_state, metrics
 
 
+def replay_episode(
+    pc_frames: PointCloud,   # stacked [F, ...] map snapshots (growing SLAM map)
+    poly: Polygon,
+    params: AosParams,
+    exclusions,
+    s: Statics,
+    steps_per_frame: int,
+    *,
+    ror_method: str = "mxu",
+):
+    """Dynamic-map closed loop (BASELINE config 4): per map frame, re-run the
+    full perceive -> GVD -> waypoints pass (the reference recomputes the graph
+    on every map update, aos_gvd_node.cpp:152-177), restore the mission
+    target across the rebuild (aos_path_gen_node.cpp:456-560), then run
+    `steps_per_frame` control ticks. Returns (final state, per-frame metrics
+    pytree stacked [F, steps_per_frame, ...])."""
+    from .plan.mission import rebuild_waypoints
+
+    world0 = prepare_world(
+        jax.tree_util.tree_map(lambda x: x[0], pc_frames), poly, params,
+        exclusions, s, ror_method=ror_method,
+    )
+    st0 = initial_state(world0, s)
+
+    def frame_body(st, pc_f):
+        world = prepare_world(pc_f, poly, params, exclusions, s, ror_method=ror_method)
+        mission, wp = rebuild_waypoints(st.mission, st.wp, world.graph, params, s)
+        st = EngineState(
+            robot=st.robot, mission=mission, control=st.control, wp=wp,
+            plan=st.plan, raw_path=st.raw_path, last_mod=st.last_mod, t=st.t,
+        )
+
+        def tick(st, _):
+            return step(st, world, params, s)
+
+        st, metrics = jax.lax.scan(tick, st, None, length=steps_per_frame)
+        return st, metrics
+
+    return jax.lax.scan(frame_body, st0, pc_frames)
+
+
 def episode(world: World, params: AosParams, s: Statics, n_steps: int):
     """Full closed-loop rollout via lax.scan. Returns (final state, stacked
     per-step metrics)."""

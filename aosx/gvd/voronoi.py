@@ -76,32 +76,62 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
 
     d2 = jnp.where(owner < S, dist2(ox, oy), jnp.float32(3.4e38))
 
-    # STATIC shifts, fully unrolled: dynamic (traced-shift) rolls measured
-    # ~150x slower than memory-bound on the v5e; static shifts lower to
-    # cheap slice+concat. ~13 passes x 8 directions.
-    def body(step, state):
+    # Two lowerings of the same pass (identical results):
+    # - static unroll: shifts lower to slice+concat; ~4x faster on the v5e
+    #   (traced-shift rolls measured ~150x slower than memory-bound there)
+    # - dynamic fori + roll: small HLO, fast CPU compiles (tests)
+    def dir_update(state, n_owner, n_ox, n_oy):
         owner, ox, oy, d2 = state
-        for dys in (-1, 0, 1):
-            for dxs in (-1, 0, 1):
-                if dys == 0 and dxs == 0:
-                    continue
-                dy, dx = dys * step, dxs * step
-                n_owner = shift2d(owner, dy, dx)
-                edge = shift2d(jnp.ones((h, w), jnp.int8), dy, dx) == 0
-                n_owner = jnp.where(edge, S, n_owner)
-                n_ox = shift2d(ox, dy, dx)
-                n_oy = shift2d(oy, dy, dx)
-                n_d2 = jnp.where(n_owner < S, dist2(n_ox, n_oy), jnp.float32(3.4e38))
-                better = (n_d2 < d2) | ((n_d2 == d2) & (n_owner < owner))
-                owner = jnp.where(better, n_owner, owner)
-                ox = jnp.where(better, n_ox, ox)
-                oy = jnp.where(better, n_oy, oy)
-                d2 = jnp.where(better, n_d2, d2)
-        return owner, ox, oy, d2
+        n_d2 = jnp.where(n_owner < S, dist2(n_ox, n_oy), jnp.float32(3.4e38))
+        better = (n_d2 < d2) | ((n_d2 == d2) & (n_owner < owner))
+        return (
+            jnp.where(better, n_owner, owner),
+            jnp.where(better, n_ox, ox),
+            jnp.where(better, n_oy, oy),
+            jnp.where(better, n_d2, d2),
+        )
 
     state = (owner, ox, oy, d2)
-    for step in _passes(s):
-        state = body(step, state)
+    if not s.jfa_dynamic_shifts:
+        for step in _passes(s):
+            for dys in (-1, 0, 1):
+                for dxs in (-1, 0, 1):
+                    if dys == 0 and dxs == 0:
+                        continue
+                    dy, dx = dys * step, dxs * step
+                    n_owner = shift2d(state[0], dy, dx)
+                    edge = shift2d(jnp.ones((h, w), jnp.int8), dy, dx) == 0
+                    n_owner = jnp.where(edge, S, n_owner)
+                    state = dir_update(
+                        state, n_owner, shift2d(state[1], dy, dx), shift2d(state[2], dy, dx)
+                    )
+    else:
+        steps = jnp.asarray(_passes(s), jnp.int32)
+
+        def dyn_shift(a, dy, dx, fill):
+            out = jnp.roll(a, (dy, dx), axis=(0, 1))
+            sy = iy - dy
+            sx = ix - dx
+            bad = (sy < 0) | (sy >= h) | (sx < 0) | (sx >= w)
+            return jnp.where(bad, fill, out)
+
+        def body(k, state):
+            step = steps[k]
+            for dys in (-1, 0, 1):
+                for dxs in (-1, 0, 1):
+                    if dys == 0 and dxs == 0:
+                        continue
+                    dy, dx = dys * step, dxs * step
+                    n_owner = dyn_shift(state[0], dy, dx, jnp.int32(S))
+                    state = dir_update(
+                        state,
+                        n_owner,
+                        dyn_shift(state[1], dy, dx, jnp.float32(1e9)),
+                        dyn_shift(state[2], dy, dx, jnp.float32(1e9)),
+                    )
+            return state
+
+        state = jax.lax.fori_loop(0, len(_passes(s)), body, state)
     owner, ox, oy, d2 = state
     owner = jnp.where(live_mask(grid) & (owner < S), owner, -1)
     return owner

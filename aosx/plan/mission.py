@@ -188,6 +188,66 @@ def mission_tick(
     return st, wp, should_replan
 
 
+def rebuild_waypoints(
+    state: MissionState, old_wp: Waypoints, graph: GvdGraph, params: AosParams, s: Statics
+):
+    """graphCallback waypoint-sequence rebuild + target restoration by
+    POSITION (cpp:456-560, SURVEY hard part #5):
+
+    - the tour is rebuilt from the new graph unless exploration completed
+      (cpp:483-485); when completed the old tour is kept and the origin is
+      re-appended if it was there (cpp:487-494)
+    - the target index is re-found as the closest new waypoint to the saved
+      target position when within 0.5 m; else the saved index if still
+      valid; else keep progress (never reset to 0 mid-mission).
+    Returns (state, wp).
+    """
+    W = old_wp.xy.shape[0]
+    saved_idx = state.target_wp
+    saved_valid = (saved_idx >= 0) & (saved_idx < old_wp.count)
+    saved_pos = old_wp.xy[jnp.clip(saved_idx, 0, W - 1)]
+
+    new_wp = build_waypoints(graph, params, s)
+    new_wp = Waypoints(
+        xy=jnp.where(state.exploration_completed, old_wp.xy, new_wp.xy),
+        node_idx=jnp.where(state.exploration_completed, old_wp.node_idx, new_wp.node_idx),
+        count=jnp.where(state.exploration_completed, old_wp.count, new_wp.count),
+    )
+    # re-append origin when completed and it had been appended (cpp:487-494)
+    wp2 = _append_origin(new_wp, params)
+    use_append = state.exploration_completed & state.origin_appended
+    wp = Waypoints(
+        xy=jnp.where(use_append, wp2.xy, new_wp.xy),
+        node_idx=jnp.where(use_append, wp2.node_idx, new_wp.node_idx),
+        count=jnp.where(use_append, wp2.count, new_wp.count),
+    )
+
+    d = jnp.sqrt(jnp.sum((wp.xy - saved_pos[None, :]) ** 2, axis=1))
+    d = jnp.where(jnp.arange(W) < wp.count, d, 3.4e38)
+    best = jnp.argmin(d).astype(jnp.int32)
+    best_ok = (wp.count > 0) & (d[best] < 0.5)
+    idx_ok = (saved_idx >= 0) & (saved_idx < wp.count)
+    keep_or_zero = jnp.where(state.target_wp < 0, 0, state.target_wp)
+    fallback = jnp.where(
+        state.exploration_completed,
+        jnp.where(idx_ok, saved_idx, wp.count - 1),
+        jnp.where(idx_ok, saved_idx, keep_or_zero),
+    )
+    new_target = jnp.where(saved_valid & best_ok, best, fallback)
+    new_target = jnp.where(wp.count > 0, new_target, state.target_wp)
+
+    st = MissionState(
+        target_wp=new_target,
+        prev_wp=state.prev_wp,
+        initial_reached=state.initial_reached,
+        exploration_completed=state.exploration_completed,
+        waiting_for_docking=state.waiting_for_docking,
+        status=state.status,
+        origin_appended=state.origin_appended,
+    )
+    return st, wp
+
+
 def force_next_waypoint(state: MissionState, wp: Waypoints, params: AosParams):
     """The /aos/next_waypoint Empty service (cpp:349-416): manual escape
     hatch that clears the docking freeze and force-advances the target
