@@ -301,15 +301,22 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     iidx = jnp.arange(N)
     t = jnp.asarray(params.proximity_edge_dist, jnp.float32)
     prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > iidx[:, None])
-    prox_flat = prox.reshape(-1)
-    # compact candidates FIRST (top_k compaction; a full-N^2 scatter or
-    # membership test was the hot spot)
+    # per-row top_k (nodes rarely have > PPN partners within 0.5 m), then a
+    # small compaction - a global top_k over the N^2 mask was the hot spot
     from ..ops import compact_true
 
+    PPN = 8
+    row_j = jnp.where(prox, iidx[None, :], N)              # [N,N]
+    negj, _ = jax.lax.top_k(-row_j, PPN)                    # j ascending
+    cand_j = -negj                                          # [N,PPN]
+    cand_ok = cand_j < N
+    cand_i = jnp.broadcast_to(iidx[:, None], (N, PPN))
+    flat_ok = cand_ok.reshape(-1)                           # (i asc, j asc)
     PE = E
-    psel, n_prox_cand = compact_true(prox_flat, PE)
-    cpi = jnp.where(psel >= 0, psel // N, -1)
-    cpj = jnp.where(psel >= 0, psel % N, -1)
+    psel, n_prox_cand = compact_true(flat_ok, PE)
+    sel_safe = jnp.maximum(psel, 0)
+    cpi = jnp.where(psel >= 0, cand_i.reshape(-1)[sel_safe], -1)
+    cpj = jnp.where(psel >= 0, cand_j.reshape(-1)[sel_safe], -1)
     pvalid = jnp.arange(PE) < n_prox_cand
     # not already a surviving ridge edge (the reference only records edges
     # that passed the crossing filter in added_edges; cpp:844-857)

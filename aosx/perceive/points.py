@@ -19,11 +19,14 @@ from ..types import PointCloud, Polygon
 
 
 def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
+    """Number of OTHER valid points within `radius` (3D), per point.
+
+    method: 'pallas' (fused MXU kernel, fastest), 'mxu' (blocked XLA dots),
+    'exact' (elementwise diffs, bit-matches the f32 oracle)."""
     if block is None:
         # big tiles for the MXU path: per-iteration loop overhead dominates
         # small tiles on TPU; [8192, 8192] f32 d2 tiles are ~256 MB, fine
         block = 8192 if method == "mxu" else 2048
-    """Number of OTHER valid points within `radius` (3D), per point."""
     n = xyz.shape[0]
     big = jnp.float32(1e9)
     # park invalid points far away (each gets a distinct parking spot so they
@@ -35,6 +38,15 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
     nblk = (n + block - 1) // block
     pad = nblk * block - n
     pts_p = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=-1e9)
+
+    if method == "sorted":
+        return _ror_counts_sorted(pts, n, r2)
+
+    if method == "pallas":
+        from .ror_pallas import ror_counts_pallas
+
+        cnt = ror_counts_pallas(pts_p, r2)
+        return cnt[:n] - 1
 
     if method == "mxu":
         sq = jnp.sum(pts_p * pts_p, axis=1)  # [Np]
@@ -72,6 +84,45 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
         cnt, _ = jax.lax.scan(body, jnp.zeros((nblk * block,), jnp.int32), jnp.arange(nblk))
 
     return cnt[:n] - 1  # exclude self (d2 == 0 with itself always counted)
+
+
+def _ror_counts_sorted(pts, n, r2, W: int = 2048):
+    """Sorted-sweep exact neighbor counting: sort by x, compare each block of
+    W points only against itself and its two neighbor blocks. Exact whenever
+    no pair within `radius` spans two block boundaries - guaranteed when
+    every 2 consecutive blocks cover > radius of x-extent (orchard maps:
+    ~700 points/m vs W=2048 per block; safety margin ~15x). N^2/21 the work
+    of the full pairwise path.
+
+    Returns counts (excluding self) in the ORIGINAL point order."""
+    N = pts.shape[0]
+    pad = (-N) % W
+    parked = 2e9 + jnp.arange(pad, dtype=jnp.float32) * 1e3
+    ptsp = jnp.concatenate(
+        [pts, jnp.stack([parked, parked, parked], axis=1)], axis=0
+    ) if pad else pts
+    Np = ptsp.shape[0]
+    order = jnp.argsort(ptsp[:, 0])
+    ps = ptsp[order]                                  # [Np,3] sorted by x
+    Nb = Np // W
+    blocks = ps.reshape(Nb, W, 3)
+    far = jnp.full((1, W, 3), -3e9, jnp.float32)
+    left = jnp.concatenate([far, blocks[:-1]], axis=0)
+    far2 = jnp.full((1, W, 3), 3.2e9, jnp.float32)
+    right = jnp.concatenate([blocks[1:], far2], axis=0)
+    trip = jnp.concatenate([left, blocks, right], axis=1)   # [Nb, 3W, 3]
+
+    def body(carry, idx):
+        b = blocks[idx]                                # [W,3]
+        t = trip[idx]                                  # [3W,3]
+        d2 = jnp.sum((b[:, None, :] - t[None, :, :]) ** 2, axis=-1)
+        cnt = jnp.sum(d2 <= r2, axis=1) - 1            # exclude self
+        return carry, cnt
+
+    _, cnts = jax.lax.scan(body, None, jnp.arange(Nb))
+    cnt_sorted = cnts.reshape(-1)
+    cnt = jnp.zeros((Np,), jnp.int32).at[order].set(cnt_sorted)
+    return cnt[:n]
 
 
 def preprocess(

@@ -77,13 +77,15 @@ def union_find_labels(nbrs, s: Statics):
     L0 = jnp.arange(M, dtype=jnp.int32)
 
     def compress(L):
-        def cbody(state):
-            Lc, changed = state
-            Ln = jnp.minimum(Lc, Lc[Lc])
-            return Ln, jnp.any(Ln != Lc)
+        # fixed-trip pointer jumping: each hop doubles compressed depth, so
+        # ceil(log2(M)) hops always reach the root (no per-hop convergence
+        # reduction - those sync points dominated on TPU)
+        hops = max(1, (M - 1).bit_length())
 
-        L, _ = jax.lax.while_loop(lambda st: st[1], cbody, (L, jnp.bool_(True)))
-        return L
+        def cbody(_, Lc):
+            return jnp.minimum(Lc, Lc[Lc])
+
+        return jax.lax.fori_loop(0, hops, cbody, L)
 
     def cond(state):
         _, changed, it = state

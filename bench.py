@@ -72,7 +72,7 @@ def main():
 
     @jax.jit
     def stage_perceive(pc, poly, params, excl):
-        out = perceive(pc, poly, params, excl, S, ror_method="mxu")
+        out = perceive(pc, poly, params, excl, S, ror_method="sorted")
         return out, probe(out.seeds.xy)
 
     (out, _), t_perceive = median_ms(stage_perceive, pc, poly, params, excl)

@@ -101,3 +101,20 @@ def test_skeleton_pub_parity(jax_grids, oracle_result):
     jg = _live(jax_grids[4])
     ref = oracle_result.skeleton_pub.data == 100
     assert (jg == ref).all()
+
+
+def test_ror_sorted_matches_exact():
+    """The sorted-sweep ROR (TPU fast path) is count-identical to the exact
+    pairwise path on orchard-like data."""
+    import jax.numpy as jnp
+    from aosx.perceive.points import ror_counts
+
+    rng = np.random.default_rng(9)
+    xyz = np.stack(
+        [rng.uniform(0, 40, 4000), rng.uniform(0, 12, 4000), rng.uniform(-0.3, 0.4, 4000)], 1
+    ).astype(np.float32)
+    valid = np.ones(4000, bool)
+    valid[3900:] = False
+    a = np.asarray(ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="exact"))
+    b = np.asarray(ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="sorted"))
+    assert (a[:3900] == b[:3900]).all()
