@@ -146,23 +146,36 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     center_x = jnp.where(count > 0, sum_x / jnp.maximum(count, 1), 0.0)
     center_y = jnp.where(count > 0, sum_y / jnp.maximum(count, 1), 0.0)
 
-    # blocked exact max pairwise distance per cluster
-    B = min(512, M)
-    nblk = M // B
-    cxp = jnp.where(cell_ok, cell_x, 1e9)
-    cyp = jnp.where(cell_ok, cell_y, -1e9)
+    # exact max pairwise distance per cluster, BANDED: cells sorted (stably)
+    # by cluster id are contiguous per cluster, so same-cluster pairs live
+    # within +-1 block of each other for clusters <= B cells (a 409 m
+    # skeleton row at 0.1 m res; full-pairwise fallback only if B >= M).
     cell_cid = jnp.where(cell_ok, jnp.minimum(seg, K), K)
+    B = min(4096, M)
+    nblk = M // B
+    sorder = jnp.argsort(cell_cid, stable=True)
+    sx = jnp.where(cell_ok, cell_x, 1e9)[sorder]
+    sy = jnp.where(cell_ok, cell_y, -1e9)[sorder]
+    sc = cell_cid[sorder]
+    sxb = sx.reshape(nblk, B)
+    syb = sy.reshape(nblk, B)
+    scb = sc.reshape(nblk, B)
+
+    def nb_concat(a, fill):
+        left = jnp.concatenate([jnp.full((1, B), fill, a.dtype), a[:-1]], 0)
+        right = jnp.concatenate([a[1:], jnp.full((1, B), fill, a.dtype)], 0)
+        return jnp.concatenate([left, a, right], axis=1)  # [nblk, 3B]
+
+    tx = nb_concat(sxb, jnp.float32(-1e9))
+    ty = nb_concat(syb, jnp.float32(1e9))
+    tc = nb_concat(scb, jnp.int32(K))
 
     def blk(carry, i):
         best = carry  # [K+1]
-        x0 = jax.lax.dynamic_slice(cxp, (i * B,), (B,))
-        y0 = jax.lax.dynamic_slice(cyp, (i * B,), (B,))
-        c0 = jax.lax.dynamic_slice(cell_cid, (i * B,), (B,))
-        d2 = (x0[:, None] - cxp[None, :]) ** 2 + (y0[:, None] - cyp[None, :]) ** 2
-        same = c0[:, None] == cell_cid[None, :]
-        d2 = jnp.where(same, d2, -1.0)
-        row_max = jnp.max(d2, axis=1)
-        best = jnp.maximum(best, jax.ops.segment_max(row_max, c0, num_segments=K + 1))
+        d2 = (sxb[i][:, None] - tx[i][None, :]) ** 2 + (syb[i][:, None] - ty[i][None, :]) ** 2
+        same = scb[i][:, None] == tc[i][None, :]
+        row_max = jnp.max(jnp.where(same, d2, -1.0), axis=1)
+        best = jnp.maximum(best, jax.ops.segment_max(row_max, scb[i], num_segments=K + 1))
         return best, None
 
     best, _ = jax.lax.scan(blk, jnp.full((K + 1,), -1.0), jnp.arange(nblk))
