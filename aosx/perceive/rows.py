@@ -77,15 +77,15 @@ def union_find_labels(nbrs, s: Statics):
     L0 = jnp.arange(M, dtype=jnp.int32)
 
     def compress(L):
-        # fixed-trip pointer jumping: each hop doubles compressed depth, so
-        # ceil(log2(M)) hops always reach the root (no per-hop convergence
-        # reduction - those sync points dominated on TPU)
-        hops = max(1, (M - 1).bit_length())
-
+        # fixed-trip pointer jumping (no per-hop convergence reductions).
+        # 6 hops compress 2^6-deep label chains per round; the outer hooking
+        # loop supplies the remaining factor, converging in a handful of
+        # rounds overall (full log2(M) compression per round measured slower
+        # end-to-end: more sequential gathers than the rounds it saves).
         def cbody(_, Lc):
             return jnp.minimum(Lc, Lc[Lc])
 
-        return jax.lax.fori_loop(0, hops, cbody, L)
+        return jax.lax.fori_loop(0, 6, cbody, L)
 
     def cond(state):
         _, changed, it = state
