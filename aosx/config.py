@@ -142,6 +142,7 @@ DRYRUN_STATICS = Statics(
     max_path=64,
     max_plan=1024,
     skeleton_max_iters=32,
+    jfa_dynamic_shifts=True,  # dry runs happen on CPU devices
 )
 
 # Benchmark config per BASELINE.md: 200x200 m @ 0.1 m -> 2000x2000 cells.

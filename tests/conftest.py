@@ -1,5 +1,8 @@
 import os
 
+# Persistent compile cache: the suite is compile-bound on this 1-core box.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 # Make an 8-virtual-device CPU platform available for multi-chip sharding
 # tests. NOTE: under the axon TPU plugin, JAX_PLATFORMS=cpu is ignored (the
 # tunnel backend stays default), so we pin the default device to CPU instead.
@@ -22,3 +25,5 @@ def cpu_mesh(n: int = 8, axis: str = "data"):
 
     devs = np.array(jax.devices("cpu")[:n])
     return Mesh(devs, (axis,))
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
