@@ -9,6 +9,9 @@ Run: python benchmarks/bench_rollouts.py [batch] [steps]
 """
 
 import json
+import sys as _sys
+import os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time
