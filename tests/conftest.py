@@ -1,8 +1,5 @@
 import os
 
-# Persistent compile cache: the suite is compile-bound on this 1-core box.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-
 # Make an 8-virtual-device CPU platform available for multi-chip sharding
 # tests. NOTE: under the axon TPU plugin, JAX_PLATFORMS=cpu is ignored (the
 # tunnel backend stays default), so we pin the default device to CPU instead.
@@ -13,6 +10,12 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Persistent compile cache: the suite is compile-bound on this 1-core box.
+# (env-var config alone does not trigger writes here; set all three knobs)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 if not os.environ.get("AOSX_TEST_ON_TPU"):
     _cpu = jax.devices("cpu")
@@ -26,4 +29,3 @@ def cpu_mesh(n: int = 8, axis: str = "data"):
     devs = np.array(jax.devices("cpu")[:n])
     return Mesh(devs, (axis,))
 
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
