@@ -91,6 +91,9 @@ class Statics:
     # JFA shift lowering: static unroll is ~4x faster on TPU but slow to
     # compile on CPU; dynamic (fori + roll) is the reverse. Same results.
     jfa_dynamic_shifts: bool = False
+    # Fuse the trailing small-step passes (64..1) into one Pallas kernel
+    # (TPU only; bit-identical update rule).
+    jfa_pallas_small: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "grid_h", _round_up(self.grid_h, 8))

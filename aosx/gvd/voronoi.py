@@ -91,9 +91,20 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
             jnp.where(better, n_d2, d2),
         )
 
+    # optionally peel the trailing small steps into the fused Pallas kernel
+    passes = _passes(s)
+    pallas_tail = False
+    if s.jfa_pallas_small and not s.jfa_dynamic_shifts:
+        from .jfa_pallas import SMALL_STEPS
+
+        k = len(SMALL_STEPS)
+        if len(passes) > k and tuple(passes[-k:]) == SMALL_STEPS:
+            passes = passes[:-k]
+            pallas_tail = True
+
     state = (owner, ox, oy, d2)
     if not s.jfa_dynamic_shifts:
-        for step in _passes(s):
+        for step in passes:
             for dys in (-1, 0, 1):
                 for dxs in (-1, 0, 1):
                     if dys == 0 and dxs == 0:
@@ -133,5 +144,12 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
 
         state = jax.lax.fori_loop(0, len(_passes(s)), body, state)
     owner, ox, oy, d2 = state
+
+    if pallas_tail:
+        from .jfa_pallas import jfa_small_steps
+
+        owner, ox, oy = jfa_small_steps(
+            owner, ox, oy, grid.origin_x, grid.origin_y, s.resolution, S
+        )
     owner = jnp.where(live_mask(grid) & (owner < S), owner, -1)
     return owner
