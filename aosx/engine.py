@@ -72,7 +72,7 @@ class EngineState:
 
 
 def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
-                  s: Statics, *, ror_method: str = "mxu") -> World:
+                  s: Statics, *, ror_method: str = "sorted") -> World:
     """One full perception + graph pass over a static map."""
     out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method)
     graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s)
@@ -206,7 +206,7 @@ def replay_episode(
     s: Statics,
     steps_per_frame: int,
     *,
-    ror_method: str = "mxu",
+    ror_method: str = "sorted",
 ):
     """Dynamic-map closed loop (BASELINE config 4): per map frame, re-run the
     full perceive -> GVD -> waypoints pass (the reference recomputes the graph

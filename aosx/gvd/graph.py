@@ -26,6 +26,13 @@ from ..types import GridWorld, GvdGraph, SeedSet, TreeRows
 from .voronoi import jump_flood
 
 
+def _clearances(skel, pos, edges, edge_valid, s):
+    from .clearance import edge_clearances, obstacle_distance_field
+
+    dist = obstacle_distance_field(skel, s)
+    return edge_clearances(dist, skel, pos, edges, edge_valid, s)
+
+
 # ---------------------------------------------------------------------------
 # 1. seed merge
 # ---------------------------------------------------------------------------
@@ -470,8 +477,14 @@ def build_gvd_graph(
     skel: GridWorld,
     params: AosParams,
     s: Statics,
+    *,
+    compute_clearances: bool = False,
 ) -> GvdGraph:
-    """processGraph (cpp:255-318) as one jitted function."""
+    """processGraph (cpp:255-318) as one jitted function.
+
+    compute_clearances: the reference always publishes edge_clearances = 0
+    (aos_gvd_node.cpp:856); True computes real min-obstacle distances
+    (extension; see gvd/clearance.py)."""
     merged = merge_seeds(seeds, params, s)
     owner = jump_flood(skel, merged, s)
     pos, owners, node_valid = extract_vertices(skel, owner, s)
@@ -492,7 +505,11 @@ def build_gvd_graph(
         edges=jnp.stack([ea, eb], axis=1),
         edge_valid=ev,
         edge_lengths=lengths,
-        edge_clearances=jnp.zeros_like(lengths),  # reference always writes 0
+        edge_clearances=(
+            _clearances(skel, pos, jnp.stack([ea, eb], axis=1), ev, s)
+            if compute_clearances
+            else jnp.zeros_like(lengths)  # reference always writes 0
+        ),
         num_nodes=jnp.sum(node_valid.astype(jnp.int32)),
         num_edges=n_edges,
     )

@@ -48,7 +48,7 @@ def rollout_summary(final, metrics):
 
 
 def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: int,
-                ror_method: str = "mxu"):
+                ror_method: str = "sorted"):
     """One procedural orchard: generate -> perceive -> GVD -> closed loop."""
     pc, poly = make_orchard(key, spec, s)
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
@@ -57,7 +57,7 @@ def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: 
     return rollout_summary(final, metrics)
 
 
-def batched_rollouts(keys, spec, params, s, n_steps, ror_method="mxu"):
+def batched_rollouts(keys, spec, params, s, n_steps, ror_method="sorted"):
     """vmap over orchards within one device."""
     return jax.vmap(
         lambda k: rollout_one(k, spec, params, s, n_steps, ror_method)
@@ -65,7 +65,7 @@ def batched_rollouts(keys, spec, params, s, n_steps, ror_method="mxu"):
 
 
 def sharded_rollouts(keys, spec, params, s, n_steps, mesh: Mesh,
-                     ror_method="mxu"):
+                     ror_method="sorted"):
     """shard_map the orchard batch across the mesh 'data' axis; each device
     runs its shard with vmap; a psum reduces the completion count (the only
     collective - rides ICI)."""

@@ -39,7 +39,7 @@ def perceive(
     exclusions,
     s: Statics,
     *,
-    ror_method: str = "mxu",
+    ror_method: str = "sorted",
 ) -> PerceiveOut:
     xy, keep, bounds = _points.preprocess(pc, poly, params, exclusions, s, ror_method=ror_method)
     grid = _raster.generate_grid(xy, keep, bounds, s)
