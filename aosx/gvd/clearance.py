@@ -46,25 +46,53 @@ def obstacle_distance_field(grid: GridWorld, s: Statics):
     k //= 2
     passes = [1] + [k >> i for i in range(k.bit_length()) if (k >> i) >= 1]
 
-    state = (ny, nx, best)
-    for step in passes:
+    def dir_update(state, cy, cx):
         ny, nx, best = state
-        for dys in (-1, 0, 1):
-            for dxs in (-1, 0, 1):
-                if dys == 0 and dxs == 0:
-                    continue
-                dy, dx = dys * step, dxs * step
-                cy = shift2d(ny, dy, dx)
-                cx = shift2d(nx, dy, dx)
-                edge = shift2d(jnp.ones((h, w), jnp.int8), dy, dx) == 0
-                cy = jnp.where(edge, BIG, cy)
-                cx = jnp.where(edge, BIG, cx)
-                cand = d2_of(cy, cx)
-                better = cand < best
-                ny = jnp.where(better, cy, ny)
-                nx = jnp.where(better, cx, nx)
-                best = jnp.where(better, cand, best)
-        state = (ny, nx, best)
+        cand = d2_of(cy, cx)
+        better = cand < best
+        return (
+            jnp.where(better, cy, ny),
+            jnp.where(better, cx, nx),
+            jnp.where(better, cand, best),
+        )
+
+    state = (ny, nx, best)
+    if not s.jfa_dynamic_shifts:
+        for step in passes:
+            for dys in (-1, 0, 1):
+                for dxs in (-1, 0, 1):
+                    if dys == 0 and dxs == 0:
+                        continue
+                    dy, dx = dys * step, dxs * step
+                    cy = shift2d(state[0], dy, dx)
+                    cx = shift2d(state[1], dy, dx)
+                    edge = shift2d(jnp.ones((h, w), jnp.int8), dy, dx) == 0
+                    state = dir_update(
+                        state, jnp.where(edge, BIG, cy), jnp.where(edge, BIG, cx)
+                    )
+    else:
+        steps_arr = jnp.asarray(passes, jnp.int32)
+
+        def dyn_shift(a, dy, dx):
+            out = jnp.roll(a, (dy, dx), axis=(0, 1))
+            sy = iy - dy
+            sx = ix - dx
+            bad = (sy < 0) | (sy >= h) | (sx < 0) | (sx >= w)
+            return jnp.where(bad, BIG, out)
+
+        def body(k, state):
+            step = steps_arr[k]
+            for dys in (-1, 0, 1):
+                for dxs in (-1, 0, 1):
+                    if dys == 0 and dxs == 0:
+                        continue
+                    dy, dx = dys * step, dxs * step
+                    state = dir_update(
+                        state, dyn_shift(state[0], dy, dx), dyn_shift(state[1], dy, dx)
+                    )
+            return state
+
+        state = jax.lax.fori_loop(0, len(passes), body, state)
     ny, nx, best = state
     return jnp.sqrt(jnp.minimum(best, 3.4e38)) * res
 
