@@ -94,6 +94,9 @@ class Statics:
     # Fuse the trailing small-step passes (64..1) into one Pallas kernel
     # (TPU only; bit-identical update rule).
     jfa_pallas_small: bool = False
+    # Use the banded halo-DMA Pallas thinning kernel instead of the XLA
+    # stencil loop (TPU only; bit-identical - see perceive/skeleton_pallas.py)
+    skeleton_pallas: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "grid_h", _round_up(self.grid_h, 8))

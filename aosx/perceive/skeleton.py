@@ -118,4 +118,9 @@ def zhang_suen(grid: GridWorld, s: Statics) -> GridWorld:
 
 def skeletonize(grid: GridWorld, s: Statics) -> GridWorld:
     """skeletonizeOccupancyGrid (aos_seed_gen_node.cpp:672-705)."""
-    return zhang_suen(morph_open(grid), s)
+    opened = morph_open(grid)
+    if s.skeleton_pallas:
+        from .skeleton_pallas import zhang_suen_pallas
+
+        return zhang_suen_pallas(opened, s)
+    return zhang_suen(opened, s)
