@@ -122,13 +122,20 @@ def edge_replicated(grid: GridWorld):
 
     Reading occ_ext at STATIC-clamped indices is then identical to the
     reference's worldToGrid clamp-to-live-region (aos_seed_gen_node.cpp:
-    760-769). One-time gather; keeps traced clamp bounds OUT of loop bodies
-    (XLA CPU hangs compiling gathers with traced clamp bounds inside loops).
+    760-769). Keeps traced clamp bounds OUT of loop bodies (XLA CPU hangs
+    compiling gathers with traced clamp bounds inside loops).
+
+    Built gather-free: broadcast the last live column / row via two dynamic
+    slices + selects (a full-grid 2D gather measured ~40 ms on the v5e -
+    XLA:TPU gathers run at ~10 ns/element; this form is fused elementwise).
     """
     h, w = grid.occ.shape
     iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return grid.occ[jnp.minimum(iy, grid.h_cells - 1), jnp.minimum(ix, grid.w_cells - 1)]
+    last_col = jax.lax.dynamic_slice(grid.occ, (0, grid.w_cells - 1), (h, 1))
+    colrep = jnp.where(ix >= grid.w_cells, last_col, grid.occ)
+    last_row = jax.lax.dynamic_slice(colrep, (grid.h_cells - 1, 0), (1, w))
+    return jnp.where(iy >= grid.h_cells, last_row, colrep)
 
 
 def world_to_grid_clamped(grid: GridWorld, wx, wy, res):
