@@ -91,9 +91,14 @@ class Statics:
     # JFA shift lowering: static unroll is ~4x faster on TPU but slow to
     # compile on CPU; dynamic (fori + roll) is the reverse. Same results.
     jfa_dynamic_shifts: bool = False
-    # Fuse the trailing small-step passes (64..1) into one Pallas kernel
-    # (TPU only; bit-identical update rule).
+    # DEPRECATED (ignored): the fused small-step tail kernel implemented the
+    # old Gauss-Seidel pass chaining and measured at parity with XLA anyway
+    # (see gvd/jfa_pallas.py); superseded by jfa_pass_pallas below.
     jfa_pallas_small: bool = False
+    # Run each JFA pass with step <= 128 as a banded halo-DMA Pallas kernel
+    # (one read+write of the carried planes per pass instead of XLA's
+    # materialized shifts; TPU only - see gvd/jfa_pass_pallas.py).
+    jfa_pass_pallas: bool = False
     # Use the banded halo-DMA Pallas thinning kernel instead of the XLA
     # stencil loop (TPU only; bit-identical - see perceive/skeleton_pallas.py)
     skeleton_pallas: bool = False
@@ -165,6 +170,8 @@ BENCH_STATICS = Statics(
     max_edges=32768,
     max_path=768,
     max_plan=4096,
+    jfa_pass_pallas=True,  # banded Pallas JFA passes (bit-identical; ~6 ms
+    #                        of XLA pass time -> ~0 measured on the v5e)
 )
 
 

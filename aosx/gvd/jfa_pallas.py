@@ -1,5 +1,13 @@
 """Pallas TPU kernel for the small-step jump-flood passes.
 
+STATUS: retired. This kernel reproduces the ORIGINAL Gauss-Seidel pass
+chaining (directions within a pass saw earlier directions' updates), which
+jump_flood no longer uses - the pipeline moved to the textbook Jacobi pass
+(see voronoi.jump_flood and jfa_pass_pallas.py). It also measured only at
+parity with the XLA lowering (110.6 vs 105.9 ms end-to-end) because the
+small column tiles pay ~11x redundant halo compute. Kept as a record of the
+trapezoid-fusion approach; not wired into jump_flood anymore.
+
 The JFA schedule is [1, 1024, 512, ..., 2, 1]. The big steps need halos up
 to 1024 rows (stay in XLA - 5 passes), but the trailing small steps
 (64, 32, 16, 8, 4, 2, 1 - halo sum 127) fuse into ONE kernel: each

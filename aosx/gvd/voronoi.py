@@ -12,8 +12,9 @@ points + connectivity); coordinates are accurate to the grid resolution.
 Parity with the Subdiv2D construction is validated at the decision level
 (SURVEY.md hard part #2), not float-exactly.
 
-JFA here is the "1+JFA" variant (extra step-1 pass first), with ties broken
-by lower seed index; owner POSITIONS are carried as separate planes so each
+JFA here is the "1+JFA" variant (extra step-1 pass first) with JACOBI passes
+(all 8 directional candidates read from the pass-start planes; ties broken
+by lower seed index); owner POSITIONS are carried as separate planes so each
 pass is pure shifted elementwise math - no gathers in the hot loop.
 """
 
@@ -66,58 +67,85 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
     sidx = jnp.where(seeds.valid, jnp.arange(S, dtype=jnp.int32), S)
     owner = jnp.full((h, w), S, jnp.int32).at[sy, sx].min(sidx, mode="drop")
 
+    # Position planes: every non-seed cell has owner == S here, so instead of
+    # the dense table gather seeds_x[owner] (2 x 4M elements ~= 54 ms on the
+    # v5e - XLA:TPU gathers are ~10 ns/element) gather the winning owner PER
+    # SEED (S elements) and scatter into the planes. Seeds sharing a cell all
+    # write the same winner's coordinates, so the duplicate scatter is
+    # deterministic; the result is bit-identical to the dense gather.
     seeds_x = jnp.concatenate([seeds.xy[:, 0], jnp.array([1e9], jnp.float32)])
     seeds_y = jnp.concatenate([seeds.xy[:, 1], jnp.array([1e9], jnp.float32)])
-    ox = seeds_x[owner]
-    oy = seeds_y[owner]
+    win = owner[sy, sx]                       # [S] owner at each seed's cell
+    ox = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_x[win], mode="drop")
+    oy = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_y[win], mode="drop")
 
     def dist2(px, py):
         return (px - cellx) ** 2 + (py - celly) ** 2
 
-    d2 = jnp.where(owner < S, dist2(ox, oy), jnp.float32(3.4e38))
+    # Every lowering implements the same JACOBI pass: all 8 directional
+    # candidates are read from the PASS-START planes and folded with a
+    # lexicographic (d2, owner) min - order-independent, the textbook JFA
+    # update. (An earlier version chained direction updates within a pass,
+    # Gauss-Seidel style; that converges to the same Voronoi field but has
+    # influence radius 8*step per pass, which makes banded Pallas kernels
+    # impossible. Jacobi keeps the halo = step and lets all three lowerings
+    # - static unroll, dynamic fori+roll, Pallas banded - be bit-identical;
+    # validated on the v5e.)
+    INF = jnp.float32(3.4e38)
 
-    # Two lowerings of the same pass (identical results):
-    # - static unroll: shifts lower to slice+concat; ~4x faster on the v5e
-    #   (traced-shift rolls measured ~150x slower than memory-bound there)
-    # - dynamic fori + roll: small HLO, fast CPU compiles (tests)
-    def dir_update(state, n_owner, n_ox, n_oy):
-        owner, ox, oy, d2 = state
-        n_d2 = jnp.where(n_owner < S, dist2(n_ox, n_oy), jnp.float32(3.4e38))
-        better = (n_d2 < d2) | ((n_d2 == d2) & (n_owner < owner))
-        return (
-            jnp.where(better, n_owner, owner),
-            jnp.where(better, n_ox, ox),
-            jnp.where(better, n_oy, oy),
-            jnp.where(better, n_d2, d2),
-        )
+    def jacobi_pass(o0, x0, y0, shifter):
+        d0 = jnp.where(o0 < S, dist2(x0, y0), INF)
+        o, x, y, d2 = o0, x0, y0, d0
+        for dys in (-1, 0, 1):
+            for dxs in (-1, 0, 1):
+                if dys == 0 and dxs == 0:
+                    continue
+                no, nx, ny = shifter(o0, x0, y0, dys, dxs)
+                nd = jnp.where(no < S, dist2(nx, ny), INF)
+                better = (nd < d2) | ((nd == d2) & (no < o))
+                o = jnp.where(better, no, o)
+                x = jnp.where(better, nx, x)
+                y = jnp.where(better, ny, y)
+                d2 = jnp.where(better, nd, d2)
+        return o, x, y
 
-    # optionally peel the trailing small steps into the fused Pallas kernel
+    def shift_fill_s(a, dy: int, dx: int):
+        out = a
+        if dy > 0:
+            out = jnp.pad(out, ((dy, 0), (0, 0)), constant_values=S)[:h, :]
+        elif dy < 0:
+            out = jnp.pad(out, ((0, -dy), (0, 0)), constant_values=S)[-h:, :]
+        if dx > 0:
+            out = jnp.pad(out, ((0, 0), (dx, 0)), constant_values=S)[:, :w]
+        elif dx < 0:
+            out = jnp.pad(out, ((0, 0), (0, -dx)), constant_values=S)[:, -w:]
+        return out
+
     passes = _passes(s)
-    pallas_tail = False
-    if s.jfa_pallas_small and not s.jfa_dynamic_shifts:
-        from .jfa_pallas import SMALL_STEPS
-
-        k = len(SMALL_STEPS)
-        if len(passes) > k and tuple(passes[-k:]) == SMALL_STEPS:
-            passes = passes[:-k]
-            pallas_tail = True
-
-    state = (owner, ox, oy, d2)
+    state = (owner, ox, oy)
     if not s.jfa_dynamic_shifts:
+        if s.jfa_pass_pallas:
+            from .jfa_pass_pallas import MAX_STEP, jfa_pass
+
         for step in passes:
-            for dys in (-1, 0, 1):
-                for dxs in (-1, 0, 1):
-                    if dys == 0 and dxs == 0:
-                        continue
-                    dy, dx = dys * step, dxs * step
-                    n_owner = shift2d(state[0], dy, dx)
-                    edge = shift2d(jnp.ones((h, w), jnp.int8), dy, dx) == 0
-                    n_owner = jnp.where(edge, S, n_owner)
-                    state = dir_update(
-                        state, n_owner, shift2d(state[1], dy, dx), shift2d(state[2], dy, dx)
-                    )
+            if s.jfa_pass_pallas and step <= MAX_STEP:
+                state = jfa_pass(
+                    state[0], state[1], state[2], step, S,
+                    grid.origin_x, grid.origin_y, s.resolution,
+                )
+                continue
+
+            def static_shifter(o0, x0, y0, dys, dxs, _step=step):
+                dy, dx = dys * _step, dxs * _step
+                return (
+                    shift_fill_s(o0, dy, dx),
+                    shift2d(x0, dy, dx),
+                    shift2d(y0, dy, dx),
+                )
+
+            state = jacobi_pass(*state, static_shifter)
     else:
-        steps = jnp.asarray(_passes(s), jnp.int32)
+        steps = jnp.asarray(passes, jnp.int32)
 
         def dyn_shift(a, dy, dx, fill):
             out = jnp.roll(a, (dy, dx), axis=(0, 1))
@@ -128,28 +156,18 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
 
         def body(k, state):
             step = steps[k]
-            for dys in (-1, 0, 1):
-                for dxs in (-1, 0, 1):
-                    if dys == 0 and dxs == 0:
-                        continue
-                    dy, dx = dys * step, dxs * step
-                    n_owner = dyn_shift(state[0], dy, dx, jnp.int32(S))
-                    state = dir_update(
-                        state,
-                        n_owner,
-                        dyn_shift(state[1], dy, dx, jnp.float32(1e9)),
-                        dyn_shift(state[2], dy, dx, jnp.float32(1e9)),
-                    )
-            return state
 
-        state = jax.lax.fori_loop(0, len(_passes(s)), body, state)
-    owner, ox, oy, d2 = state
+            def dyn_shifter(o0, x0, y0, dys, dxs):
+                dy, dx = dys * step, dxs * step
+                return (
+                    dyn_shift(o0, dy, dx, jnp.int32(S)),
+                    dyn_shift(x0, dy, dx, jnp.float32(1e9)),
+                    dyn_shift(y0, dy, dx, jnp.float32(1e9)),
+                )
 
-    if pallas_tail:
-        from .jfa_pallas import jfa_small_steps
+            return jacobi_pass(*state, dyn_shifter)
 
-        owner, ox, oy = jfa_small_steps(
-            owner, ox, oy, grid.origin_x, grid.origin_y, s.resolution, S
-        )
+        state = jax.lax.fori_loop(0, len(passes), body, state)
+    owner = state[0]
     owner = jnp.where(live_mask(grid) & (owner < S), owner, -1)
     return owner
