@@ -343,15 +343,20 @@ def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics):
     ]
     resf = jnp.float32(res)
     H, W = skel.occ.shape
-    too_close = jnp.zeros(xy.shape[0], bool)
-    for dy, dx in offs:
-        cx = xy[:, 0] + dx * resf
-        cy = xy[:, 1] + dy * resf
-        mx = ((cx - skel.origin_x) / resf).astype(jnp.int32)
-        my = ((cy - skel.origin_y) / resf).astype(jnp.int32)
-        ing = (mx >= 0) & (mx < skel.w_cells) & (my >= 0) & (my < skel.h_cells)
-        occ = skel.occ[jnp.clip(my, 0, H - 1), jnp.clip(mx, 0, W - 1)] == 1
-        too_close |= occ & ing
+    # One [D,P] batch with the SAME per-offset arithmetic as the former
+    # Python loop (bit-parity), then a single flat 1D gather (XLA:TPU runs
+    # gathers near-scalar; one dispatch of D*P elements beats D dispatches
+    # of P, and flat 1D indexing beats 2D — CLAUDE.md profile notes).
+    dys = jnp.array([o[0] for o in offs], jnp.float32)[:, None]
+    dxs = jnp.array([o[1] for o in offs], jnp.float32)[:, None]
+    cx = xy[None, :, 0] + dxs * resf
+    cy = xy[None, :, 1] + dys * resf
+    mx = ((cx - skel.origin_x) / resf).astype(jnp.int32)
+    my = ((cy - skel.origin_y) / resf).astype(jnp.int32)
+    ing = (mx >= 0) & (mx < skel.w_cells) & (my >= 0) & (my < skel.h_cells)
+    flat = jnp.clip(my, 0, H - 1) * W + jnp.clip(mx, 0, W - 1)
+    occ = skel.occ.reshape(-1)[flat.reshape(-1)].reshape(flat.shape) == 1
+    too_close = jnp.any(occ & ing, axis=0)
     idx = jnp.arange(xy.shape[0])
     bad = too_close & (idx >= 1) & (idx < count)
     first_bad = jnp.min(jnp.where(bad, idx, xy.shape[0]))

@@ -2,10 +2,13 @@
 control step latency on a 200 x 200 m grid at 0.1 m resolution (2000 x 2000
 cells), HBM-resident, on one TPU chip.
 
-Staged jits (perceive / graph / plan+control) so each program compiles
-tractably; every stage returns an in-jit scalar probe and timing fetches only
-that scalar (on the axon backend, block_until_ready does not reliably block
-and fetching large leaves times the tunnel, not the chip).
+The HEADLINE number is ONE fused jit (perceive + graph + plan + control)
+returning a single scalar probe, so the measurement pays one tunnel
+round-trip (~28 ms on axon), not three. The staged jits (perceive / graph /
+plan+control) are kept as stderr diagnostics for per-stage attribution;
+their sum exceeds the fused number by ~2 tunnel round-trips. Timing fetches
+only the scalar probe (on the axon backend, block_until_ready does not
+reliably block and fetching large leaves times the tunnel, not the chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -112,12 +115,31 @@ def main():
         return metrics["plan_len"].astype(jnp.float32) + metrics["mod"]
 
     _, t_plan = median_ms(lambda *a: (stage_plan(*a),), out, g, cm, wp, params)
-    value = t_perceive + t_graph + t_plan
     print(
         f"# stages ms: perceive={t_perceive:.2f} graph={t_graph:.2f} "
-        f"plan+control={t_plan:.2f}",
+        f"plan+control={t_plan:.2f} (sum={t_perceive + t_graph + t_plan:.2f}, "
+        f"each carries ~28 ms tunnel overhead)",
         file=sys.stderr,
     )
+
+    @jax.jit
+    def stage_full(pc, poly, params, excl):
+        out = perceive(pc, poly, params, excl, S, ror_method="sorted")
+        g = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, S)
+        cm = cost_matrix(g, S)
+        wp = build_waypoints(g, params, S)
+        world = engine.World(
+            skeleton=out.skeleton, occupancy=out.occupancy, graph=g,
+            costmat=cm, waypoints=wp,
+        )
+        st0 = engine.initial_state(world, S)
+        st1, metrics = engine.step(st0, world, params, S)
+        return (metrics["plan_len"].astype(jnp.float32) + metrics["mod"]
+                + probe(wp.xy) + probe(out.seeds.xy))
+
+    _, value = median_ms(lambda *a: (stage_full(*a),), pc, poly, params, excl)
+    print(f"# fused ok ({time.time() - t_start:.0f}s) full step={value:.2f} ms",
+          file=sys.stderr)
     print(
         json.dumps(
             {
