@@ -36,6 +36,7 @@ def panel_total_waypoints(n_clusters: int) -> int:
 
 
 def episode_report(final, metrics, statics) -> dict:
+    from .guards import describe
     from .types import STATUS_STRINGS
 
     status = int(np.asarray(metrics["status"])[-1])
@@ -43,11 +44,13 @@ def episode_report(final, metrics, statics) -> dict:
     xy = np.asarray(final.robot.xy)
     target = int(np.asarray(final.mission.target_wp))
     n_wp = int(np.asarray(final.wp.count))
-    return dict(
+    report = dict(
         status=STATUS_STRINGS.get(status, str(status)),
         control_mode=MODE_TEXT.get(mod, str(mod)),
         position=[round(float(xy[0]), 3), round(float(xy[1]), 3)],
         waypoint_progress=f"{max(target, 0)}/{n_wp}",
+        cluster_index=int(np.asarray(metrics["cluster_idx"])[-1])
+        if "cluster_idx" in metrics else None,
         exploration_completed=bool(np.asarray(final.mission.exploration_completed)),
         docking=bool(np.asarray(final.mission.waiting_for_docking)),
         travel_distance=round(
@@ -55,6 +58,11 @@ def episode_report(final, metrics, statics) -> dict:
             2,
         ),
     )
+    if "guards" in metrics:
+        tripped = describe(int(np.asarray(metrics["guards"]).ravel()[-1]))
+        if tripped:
+            report["approximation_guards"] = tripped
+    return report
 
 
 def params_get(yaml_path: str, node: str = "aos_seed_gen_node"):

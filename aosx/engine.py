@@ -51,6 +51,8 @@ class World:
     graph: Any         # GvdGraph
     costmat: Any       # [N,N]
     waypoints: Any     # Waypoints (initial tour)
+    guards: Any = dataclasses.field(
+        default_factory=lambda: jnp.int32(0))  # aosx.guards bitmask
 
 
 @_dc
@@ -84,6 +86,7 @@ def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
         graph=graph,
         costmat=costmat,
         waypoints=wp,
+        guards=out.guards | graph.guards,
     )
 
 
@@ -185,15 +188,19 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics):
         last_mod=mod_pub,
         t=state.t + 1,
     )
+    from .plan.mission import current_cluster_index
+
     metrics = dict(
         xy=robot.xy,
         yaw=robot.yaw,
         mod=mod_pub,
         status=status,
         target_wp=mission.target_wp,
+        cluster_idx=current_cluster_index(mission.target_wp, world.graph),
         waiting=mission.waiting_for_docking,
         completed=mission.exploration_completed,
         plan_len=plan_path.count,
+        guards=world.guards,
     )
     return new_state, metrics
 

@@ -43,8 +43,14 @@ def merge_seeds(seeds: SeedSet, params: AosParams, s: Statics) -> SeedSet:
     iff no earlier representative lies within merge_distance (<=); every
     non-representative is absorbed by its EARLIEST representative; the output
     is the member centroid, in representative order. Computed with the same
-    parallel-frontier scheme as perceive.seeds.greedy_dedupe (d <= t here)."""
+    parallel-frontier scheme as perceive.seeds.greedy_dedupe (d <= t here).
+
+    Non-finite seeds are dropped up front, mirroring the reference's isfinite
+    hygiene at the Voronoi boundary (voronoi_diagram.cpp:28-30,67-69)."""
     S = seeds.xy.shape[0]
+    finite = jnp.all(jnp.isfinite(seeds.xy), axis=1)
+    seeds = SeedSet(xy=jnp.where(finite[:, None], seeds.xy, 0.0),
+                    valid=seeds.valid & finite, kind=seeds.kind)
     xy = jnp.where(seeds.valid[:, None], seeds.xy, 1e9 + jnp.arange(S, dtype=jnp.float32)[:, None] * 1e3)
     t = jnp.asarray(params.seed_merge_dist, jnp.float32)
     idx = jnp.arange(S)
@@ -188,15 +194,12 @@ def extract_vertices(grid: GridWorld, owner, s: Statics):
 # ---------------------------------------------------------------------------
 
 
-def _edge_crossing(grid: GridWorld, a, b, valid, s: Statics, n_samples: int = 256):
-    """edgePassesThroughOccupiedPixels (cpp:320-359), vectorized: sample each
-    edge at res/2 (num = len/step + 1, t = i/num, final sample at t=1).
-    Edges longer than n_samples * res/2 are sampled coarser (documented
-    deviation; such edges are rare and the skeleton is thin)."""
+def _edge_crossing_dense(grid: GridWorld, a, b, valid, num, s: Statics,
+                         n_samples: int):
+    """Dense [E, n_samples] sampling (fallback path; num precomputed/clamped
+    per entry). Same per-sample arithmetic as the packed path."""
     res = jnp.float32(s.resolution)
-    step = res * 0.5
     length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
-    num = jnp.minimum((length / step).astype(jnp.int32) + 1, n_samples - 1)
     i = jnp.arange(n_samples, dtype=jnp.float32)[None, :]                 # [1,T]
     t = jnp.minimum(i / jnp.maximum(num[:, None].astype(jnp.float32), 1.0), 1.0)
     px = a[:, 0:1] + t * (b[:, 0:1] - a[:, 0:1])
@@ -211,6 +214,103 @@ def _edge_crossing(grid: GridWorld, a, b, valid, s: Statics, n_samples: int = 25
     sample_ok = i <= num[:, None].astype(jnp.float32)
     crossing = jnp.any(occ & ing & sample_ok, axis=1) & valid & (length >= 1e-6)
     return crossing
+
+
+def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
+                         cap: int):
+    """edgePassesThroughOccupiedPixels (cpp:320-359) for a batch of entries
+    with per-entry sample caps: num = min(len/step + 1, nmax-1), samples
+    k = 0..num at t = k/num (so the final sample lands on the endpoint).
+
+    PACKED evaluation: XLA:TPU gathers run near-scalar (~10-18 ns/element,
+    CLAUDE.md), so the dense [E, T] grids pay for every padding sample. Real
+    GVD ridge edges connect neighboring Voronoi vertices (a few cells apart),
+    so the true sample count is ~10x smaller than E*T. We lay the samples of
+    all entries end-to-end in a [cap] buffer: per-entry offsets by cumsum,
+    per-slot edge parameters by a start-scatter + hold-last associative scan
+    (pure vector work), ONE flat occupancy gather, then per-entry hit counts
+    from a cumsum difference gathered at the entry boundaries (2 small
+    gathers). If the true total overflows `cap`, falls back to the dense
+    path (jax.lax.cond) so decisions never change, only speed."""
+    res = jnp.float32(s.resolution)
+    step = res * 0.5
+    E = a.shape[0]
+    length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
+    num_raw = (length / step).astype(jnp.int32) + 1
+    num = jnp.minimum(num_raw, nmax - 1)
+    nsamp = jnp.where(valid, num + 1, 0)
+    off = jnp.cumsum(nsamp) - nsamp          # exclusive prefix
+    total = off[-1] + nsamp[-1]
+
+    # 2D slot layout [NR, NC]: the flat 1-D scans over `cap` slots compile
+    # pathologically on the TPU backend at cap ~1M; lane-dim scans over a
+    # grid-like 2D shape plus a tiny per-row carry scan are equivalent and
+    # compile like the (already shipping) full-grid cumulative ops.
+    NC = 4096
+    NR = (cap + NC - 1) // NC
+    capp = NR * NC
+
+    def packed(_):
+        dx = b[:, 0] - a[:, 0]
+        dy = b[:, 1] - a[:, 1]
+        rows = jnp.stack(
+            [a[:, 0], a[:, 1], dx, dy, num.astype(jnp.float32),
+             off.astype(jnp.float32), jnp.ones((E,), jnp.float32),
+             jnp.zeros((E,), jnp.float32)], axis=1)          # [E,8]
+        tgt = jnp.where((nsamp > 0) & (off < capp), off, capp)
+        table = (jnp.zeros((capp + 1, 8), jnp.float32)
+                 .at[tgt].set(rows, mode="drop")[:capp])
+        t2 = table.reshape(NR, NC, 8)
+        flag = t2[:, :, 6] > 0.5                             # [NR,NC]
+
+        def op(x, y):
+            fx, vx = x
+            fy, vy = y
+            return fx | fy, jnp.where(fy[..., None], vy, vx)
+
+        # hold-last within each row, then carry the last start of preceding
+        # rows into slots before a row's first start
+        f_in, v_in = jax.lax.associative_scan(op, (flag, t2[:, :, :6]), axis=1)
+        f_last = f_in[:, -1]                                  # [NR]
+        v_last = v_in[:, -1]                                  # [NR,6]
+        f_c, v_c = jax.lax.associative_scan(op, (f_last, v_last), axis=0)
+        carry = jnp.concatenate([jnp.zeros((1, 6), jnp.float32), v_c[:-1]], 0)
+        vals = jnp.where(f_in[..., None], v_in, carry[:, None, :])  # [NR,NC,6]
+
+        axs, ays, dxs, dys, nums, offs = (vals[:, :, i] for i in range(6))
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 0) * NC
+                + jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 1))
+        k = slot.astype(jnp.float32) - offs
+        t = jnp.minimum(k / jnp.maximum(nums, 1.0), 1.0)
+        px = axs + t * dxs
+        py = ays + t * dys
+        mx = ((px - grid.origin_x) / res).astype(jnp.int32)
+        my = ((py - grid.origin_y) / res).astype(jnp.int32)
+        ing = (mx >= 0) & (mx < grid.w_cells) & (my >= 0) & (my < grid.h_cells)
+        Hs, Ws = grid.occ.shape
+        flat = jnp.clip(my, 0, Hs - 1) * Ws + jnp.clip(mx, 0, Ws - 1)
+        occ = grid.occ.reshape(-1)[flat.reshape(-1)].reshape(NR, NC) == 1
+        hit = (occ & ing & (slot < total)).astype(jnp.int32)
+        # segmented prefix sum: in-row cumsum + exclusive row-total carry
+        rsum = jnp.cumsum(hit, axis=1)
+        rcarry = jnp.cumsum(rsum[:, -1]) - rsum[:, -1]        # [NR] exclusive
+        Hfull = (rsum + rcarry[:, None]).reshape(-1)
+        Hc = jnp.concatenate([jnp.zeros((1,), jnp.int32), Hfull])
+        lo = Hc[jnp.minimum(off, capp)]
+        hi = Hc[jnp.minimum(off + nsamp, capp)]
+        return hi - lo > 0
+
+    def dense(_):
+        return _edge_crossing_dense(grid, a, b, valid, num, s, 256)
+
+    crossing = jax.lax.cond(total <= capp, packed, dense, None)
+
+    from ..guards import GUARD_CROSS_DENSE, GUARD_EDGE_COARSE
+
+    guards = jnp.where(jnp.any(valid & (num_raw > nmax - 1)),
+                       jnp.int32(GUARD_EDGE_COARSE), 0)
+    guards |= jnp.where(total > capp, jnp.int32(GUARD_CROSS_DENSE), 0)
+    return crossing & valid & (length >= 1e-6), guards
 
 
 def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
@@ -274,30 +374,14 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     rvalid = jnp.arange(E) < n_ridge_cand
     pa = pos[jnp.maximum(edges_a, 0)]
     pb = pos[jnp.maximum(edges_b, 0)]
-    # two-tier sampling: 64 samples suffice for edges <= 63*res/2 (the vast
-    # majority); only the rare long edges re-check at 256 samples
-    from ..ops import compact_true as _ct
-
+    # two-tier sample caps: 64 samples suffice for edges <= 63*res/2 (the
+    # vast majority); the rare long edges sample at 256 (coarser than the
+    # reference for edges > 255*res/2 - documented deviation, PARITY.md)
     T1 = 64
     length = jnp.sqrt(jnp.sum((pb - pa) ** 2, axis=1))
     num = (length / (s.resolution * 0.5)).astype(jnp.int32) + 1
     short = num <= T1 - 1
-    cross1 = _edge_crossing(grid, pa, pb, rvalid & short, s, n_samples=T1)
-    T2 = 2048
-    lsel, _ = _ct(rvalid & ~short, T2)
-    la = pos[jnp.maximum(edges_a[jnp.maximum(lsel, 0)], 0)]
-    lb = pos[jnp.maximum(edges_b[jnp.maximum(lsel, 0)], 0)]
-    cross2 = _edge_crossing(grid, la, lb, lsel >= 0, s, n_samples=256)
-    crossing = cross1
-    crossing = crossing.at[jnp.where(lsel >= 0, lsel, E)].set(cross2, mode="drop")
-    rvalid = rvalid & ~crossing
-    # re-compact surviving ridge edges (keeps sorted-key order)
-    rrank2 = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
-    rtgt2 = jnp.where(rvalid & (rrank2 < E), rrank2, E)
-    ridge_keys_sorted = jnp.where(rvalid, edges_a * N + edges_b, jnp.int32(N) * N)
-    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_a, mode="drop")[:E]
-    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_b, mode="drop")[:E]
-    n_ridge = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), E)
+    nmax_ridge = jnp.where(short, jnp.int32(T1), jnp.int32(256))
 
     # ---- proximity edges <= 0.5 m (cpp:861-894) ---------------------------
     # pairwise over nodes; (i < j) lexicographic order like the reference
@@ -315,6 +399,12 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
 
     PPN = 8
     row_j = jnp.where(prox, iidx[None, :], N)              # [N,N]
+    # guard the per-node partner cap: a node with > PPN partners within the
+    # proximity distance silently drops edges the reference would add
+    # (PARITY.md bounded approximations; ADVICE r1)
+    from ..guards import GUARD_PROX_PPN
+
+    ppn_overflow = jnp.any(jnp.sum(prox.astype(jnp.int32), axis=1) > PPN)
     negj, _ = jax.lax.top_k(-row_j, PPN)                    # j ascending
     cand_j = -negj                                          # [N,PPN]
     cand_ok = cand_j < N
@@ -326,17 +416,39 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     cpi = jnp.where(psel >= 0, cand_i.reshape(-1)[sel_safe], -1)
     cpj = jnp.where(psel >= 0, cand_j.reshape(-1)[sel_safe], -1)
     pvalid = jnp.arange(PE) < n_prox_cand
+    cpa = pos[jnp.maximum(cpi, 0)]
+    cpb = pos[jnp.maximum(cpj, 0)]
+
+    # ---- ONE packed crossing pass over ridge + prox candidates ------------
+    # (prox entries tested before the in-ridge dedupe: the dedupe only drops
+    # duplicates whose crossing value is irrelevant to the final mask)
+    all_a_pts = jnp.concatenate([pa, cpa])
+    all_b_pts = jnp.concatenate([pb, cpb])
+    nmax_all = jnp.concatenate([nmax_ridge, jnp.full((PE,), 32, jnp.int32)])
+    valid_all = jnp.concatenate([rvalid, pvalid])
+    # cap sized for fields dense in LONG ridge candidates: the bench orchard
+    # has ~3.6k 9 m corridor-spanning candidates at ~182 samples each
+    # (~750k slots) on top of ~50k short-edge slots
+    crossing_all, cross_guards = edge_crossing_packed(
+        grid, all_a_pts, all_b_pts, nmax_all, valid_all, s,
+        cap=32 * s.max_edges)
+    rvalid = rvalid & ~crossing_all[:E]
+    pcross = crossing_all[E:]
+
+    # re-compact surviving ridge edges (keeps sorted-key order)
+    rrank2 = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
+    rtgt2 = jnp.where(rvalid & (rrank2 < E), rrank2, E)
+    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_a, mode="drop")[:E]
+    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt2].set(edges_b, mode="drop")[:E]
+    n_ridge = jnp.minimum(jnp.sum(rvalid.astype(jnp.int32)), E)
+
     # not already a surviving ridge edge (the reference only records edges
     # that passed the crossing filter in added_edges; cpp:844-857)
     skeys = jnp.sort(jnp.where(jnp.arange(E) < n_ridge, edges_a * N + edges_b, jnp.int32(N) * N))
     ckeys = jnp.where(pvalid, cpi * N + cpj, jnp.int32(N) * N - 1)
     loc = jnp.searchsorted(skeys, ckeys)
     in_ridge = (loc < E) & (skeys[jnp.minimum(loc, E - 1)] == ckeys)
-    pvalid = pvalid & ~in_ridge
-    cpa = pos[jnp.maximum(cpi, 0)]
-    cpb = pos[jnp.maximum(cpj, 0)]
-    pcross = _edge_crossing(grid, cpa, cpb, pvalid, s, n_samples=32)
-    pvalid = pvalid & ~pcross
+    pvalid = pvalid & ~in_ridge & ~pcross
 
     # ---- final edge list: ridges then proximity ---------------------------
     all_a = jnp.concatenate([edges_a, jnp.where(pvalid, cpi, -1)])
@@ -353,7 +465,8 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
         jnp.sqrt(jnp.sum((pos[jnp.maximum(fb, 0)] - pos[jnp.maximum(fa, 0)]) ** 2, axis=1)),
         0.0,
     )
-    return fa, fb, ev, lengths, n_edges
+    guards = cross_guards | jnp.where(ppn_overflow, jnp.int32(GUARD_PROX_PPN), 0)
+    return fa, fb, ev, lengths, n_edges, guards
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +602,7 @@ def build_gvd_graph(
     merged = merge_seeds(seeds, params, s)
     owner = jump_flood(skel, merged, s)
     pos, owners, node_valid = extract_vertices(skel, owner, s)
-    ea, eb, ev, lengths, n_edges = build_edges(
+    ea, eb, ev, lengths, n_edges, edge_guards = build_edges(
         pos, owners, node_valid, skel, merged, params, s
     )
     label_points, label_valid, _ = find_labels(
@@ -513,4 +626,5 @@ def build_gvd_graph(
         ),
         num_nodes=jnp.sum(node_valid.astype(jnp.int32)),
         num_edges=n_edges,
+        guards=edge_guards,
     )

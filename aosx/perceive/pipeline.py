@@ -30,6 +30,8 @@ class PerceiveOut:
     rows: Any           # TreeRows, reference (discovery) order
     rows_sorted: Any    # TreeRows, /exploration_tree_rows_info order
     seeds: Any          # SeedSet, /voronoi_seeds order
+    guards: Any = dataclasses.field(
+        default_factory=lambda: jnp.int32(0))  # aosx.guards bitmask
 
 
 def perceive(
@@ -41,7 +43,7 @@ def perceive(
     *,
     ror_method: str = "sorted",
 ) -> PerceiveOut:
-    xy, keep, bounds = _points.preprocess(pc, poly, params, exclusions, s, ror_method=ror_method)
+    xy, keep, bounds, guards = _points.preprocess(pc, poly, params, exclusions, s, ror_method=ror_method)
     grid = _raster.generate_grid(xy, keep, bounds, s)
     inflated = _raster.inflate(grid, s)
     occupancy = _raster.mark_borders(inflated)
@@ -58,4 +60,5 @@ def perceive(
         rows=rows,
         rows_sorted=rows_sorted,
         seeds=seeds,
+        guards=guards | clusters["guards"],
     )

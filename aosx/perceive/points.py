@@ -22,7 +22,11 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
     """Number of OTHER valid points within `radius` (3D), per point.
 
     method: 'pallas' (fused MXU kernel, fastest), 'mxu' (blocked XLA dots),
-    'exact' (elementwise diffs, bit-matches the f32 oracle)."""
+    'exact' (elementwise diffs, bit-matches the f32 oracle).
+
+    Returns (counts [n] i32, span_violated bool) - the flag is only ever
+    True for the 'sorted' method when its block-span exactness precondition
+    breaks (PARITY.md, guards.GUARD_ROR_SPAN)."""
     if block is None:
         # big tiles for the MXU path: per-iteration loop overhead dominates
         # small tiles on TPU; [8192, 8192] f32 d2 tiles are ~256 MB, fine
@@ -46,7 +50,7 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
         from .ror_pallas import ror_counts_pallas
 
         cnt = ror_counts_pallas(pts_p, r2)
-        return cnt[:n] - 1
+        return cnt[:n] - 1, jnp.bool_(False)
 
     if method == "mxu":
         sq = jnp.sum(pts_p * pts_p, axis=1)  # [Np]
@@ -83,7 +87,8 @@ def ror_counts(xyz, valid, radius, *, method: str = "exact", block: int = None):
 
         cnt, _ = jax.lax.scan(body, jnp.zeros((nblk * block,), jnp.int32), jnp.arange(nblk))
 
-    return cnt[:n] - 1  # exclude self (d2 == 0 with itself always counted)
+    # exclude self (d2 == 0 with itself always counted)
+    return cnt[:n] - 1, jnp.bool_(False)
 
 
 def _ror_counts_sorted(pts, n, r2, W: int = 2048):
@@ -122,7 +127,17 @@ def _ror_counts_sorted(pts, n, r2, W: int = 2048):
     _, cnts = jax.lax.scan(body, None, jnp.arange(Nb))
     cnt_sorted = cnts.reshape(-1)
     cnt = jnp.zeros((Np,), jnp.int32).at[order].set(cnt_sorted)
-    return cnt[:n]
+    # precondition guard (PARITY.md): exact only if no within-radius pair
+    # skips a whole block, i.e. every block's x-span keeps blocks i and i+2
+    # more than radius apart. Parked pad points sit at 2e9+, so a violated
+    # gap involving them is impossible (radius << 1e9).
+    first_x = blocks[:, 0, 0]
+    last_x = blocks[:, -1, 0]
+    if Nb > 2:
+        violated = jnp.any(first_x[2:] - last_x[:-2] < jnp.sqrt(r2))
+    else:
+        violated = jnp.bool_(False)
+    return cnt[:n], violated
 
 
 def preprocess(
@@ -134,14 +149,16 @@ def preprocess(
     *,
     ror_method: str = "exact",
 ):
-    """Full preprocessing: returns (xy [N,2], keep-mask [N], bounds tuple).
+    """Full preprocessing: returns (xy [N,2], keep-mask [N], bounds tuple,
+    guards i32 bitmask - see aosx.guards).
 
     Steps (aos_seed_gen_node.cpp:230-538): ROR (r=0.2, >=2 neighbors), then
     PassThrough z / x / y against the active bounds, exclusion discs
     (d^2 <= r^2 removed), flatten to xy.
     """
     xyz, valid = pc.xyz, pc.valid
-    cnt = ror_counts(xyz, valid, params.ror_radius, method=ror_method)
+    cnt, ror_span_violated = ror_counts(xyz, valid, params.ror_radius,
+                                        method=ror_method)
     keep = valid & (cnt >= params.ror_min_neighbors)
 
     bounds = active_bounds(
@@ -159,4 +176,7 @@ def preprocess(
     inside_excl = jnp.any((d2 <= ex[None, :, 2] ** 2) & (ex[None, :, 2] > 0), axis=1)
     keep &= ~inside_excl
 
-    return xyz[:, :2], keep, bounds
+    from ..guards import GUARD_ROR_SPAN
+
+    guards = jnp.where(ror_span_violated, jnp.int32(GUARD_ROR_SPAN), 0)
+    return xyz[:, :2], keep, bounds, guards

@@ -70,22 +70,43 @@ def neighbor_table(cell_flat, cell_ok, inv, h: int, w: int):
     return jnp.stack(cols, axis=1)
 
 
-def union_find_labels(nbrs, s: Statics):
+def run_collapse_init(cell_flat, cell_ok, w: int):
+    """Initial labels with horizontal runs pre-merged: label = compact index
+    of the run's first cell. Compaction is raster-order-preserving, so a
+    run's members occupy consecutive compact indices; a cummax over
+    run-start markers labels every member. Cells of one run start identical
+    and update identically (their label evolution depends only on the label
+    value), so runs stay label-uniform for the whole union-find — measured
+    on bench data this removes one hooking round AND makes the E/W neighbor
+    columns permanently redundant (benchmarks/probe_uf_variants.py)."""
+    M = cell_flat.shape[0]
+    prev_flat = jnp.concatenate([jnp.array([-9], jnp.int32), cell_flat[:-1]])
+    xcol = jnp.where(cell_flat >= 0, cell_flat % w, 0)
+    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok
+    idx = jnp.arange(M, dtype=jnp.int32)
+    starts = jnp.where(cont, -1, idx)
+    L = jax.lax.associative_scan(jnp.maximum, starts)
+    return jnp.where(cell_ok, L, idx)
+
+
+def union_find_labels(nbrs, s: Statics, L0=None):
     """Connected-component labels on the compact cell list.
     Returns L [M] i32: per-cell root compact index (root = min index)."""
     M = nbrs.shape[0]
-    L0 = jnp.arange(M, dtype=jnp.int32)
+    if L0 is None:
+        L0 = jnp.arange(M, dtype=jnp.int32)
 
     def compress(L):
         # fixed-trip pointer jumping (no per-hop convergence reductions).
-        # 6 hops compress 2^6-deep label chains per round; the outer hooking
+        # 4 hops compress 2^4-deep label chains per round; the outer hooking
         # loop supplies the remaining factor, converging in a handful of
-        # rounds overall (full log2(M) compression per round measured slower
-        # end-to-end: more sequential gathers than the rounds it saves).
+        # rounds overall (hooking-dominated: rounds are identical for 4/6/10
+        # hops on bench data, and full log2(M) compression per round is
+        # slower end-to-end - benchmarks/probe_uf_variants.py).
         def cbody(_, Lc):
             return jnp.minimum(Lc, Lc[Lc])
 
-        return jax.lax.fori_loop(0, 6, cbody, L)
+        return jax.lax.fori_loop(0, 4, cbody, L)
 
     def cond(state):
         _, changed, it = state
@@ -123,7 +144,11 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     cell_flat, cell_ok, inv = compact_cells(mask, s)
     M = cell_flat.shape[0]
     nbrs = neighbor_table(cell_flat, cell_ok, inv, h, w)
-    L = union_find_labels(nbrs, s)
+    # run-collapse init keeps each horizontal run label-uniform, so the
+    # W (col 3) and E (col 4) neighbors can never contribute a new minimum;
+    # dropping them cuts the per-round [M,k] label gather from 8 to 6 cols
+    nbrs6 = nbrs[:, jnp.array([0, 1, 2, 5, 6, 7])]
+    L = union_find_labels(nbrs6, s, L0=run_collapse_init(cell_flat, cell_ok, w))
 
     # cluster ids: rank of root among roots (raster == discovery order)
     is_root = cell_ok & (L == jnp.arange(M))
@@ -152,11 +177,16 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # skeleton row at 0.1 m res; full-pairwise fallback only if B >= M).
     cell_cid = jnp.where(cell_ok, jnp.minimum(seg, K), K)
     B = min(4096, M)
-    nblk = M // B
+    nblk = (M + B - 1) // B
+    Mp = nblk * B
     sorder = jnp.argsort(cell_cid, stable=True)
     sx = jnp.where(cell_ok, cell_x, 1e9)[sorder]
     sy = jnp.where(cell_ok, cell_y, -1e9)[sorder]
     sc = cell_cid[sorder]
+    if Mp != M:  # pad to a whole number of blocks (M not a multiple of B)
+        sx = jnp.concatenate([sx, jnp.full((Mp - M,), 1e9, jnp.float32)])
+        sy = jnp.concatenate([sy, jnp.full((Mp - M,), -1e9, jnp.float32)])
+        sc = jnp.concatenate([sc, jnp.full((Mp - M,), K, jnp.int32)])
     sxb = sx.reshape(nblk, B)
     syb = sy.reshape(nblk, B)
     scb = sc.reshape(nblk, B)
@@ -181,7 +211,18 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     best, _ = jax.lax.scan(blk, jnp.full((K + 1,), -1.0), jnp.arange(nblk))
     length = jnp.where(valid, jnp.sqrt(jnp.maximum(best[:K], 0.0)) * res, 0.0)
 
+    # runtime guards for the documented caps (PARITY.md, VERDICT r1 #7):
+    # cells beyond max_skel_cells are dropped; clusters wider than the band
+    # get under-estimated lengths
+    from ..guards import GUARD_CLUSTER_LEN, GUARD_SKEL_OVERFLOW
+
+    n_cells_true = jnp.sum(mask.astype(jnp.int32))
+    guards = jnp.where(n_cells_true > M, jnp.int32(GUARD_SKEL_OVERFLOW), 0)
+    guards |= jnp.where((B < M) & jnp.any(count > B),
+                        jnp.int32(GUARD_CLUSTER_LEN), 0)
+
     return dict(
+        guards=guards,
         count=count,
         center_x=center_x,
         center_y=center_y,
@@ -280,7 +321,10 @@ def sort_rows(rows: TreeRows) -> TreeRows:
     key_y = jnp.where(rows.valid, rows.center[:, 1], big)
     key_x = jnp.where(rows.valid, rows.center[:, 0], big)
     # the reference comparator treats |dy| < 1e-6 as equal; quantize y
-    order = jnp.lexsort((key_x, jnp.round(key_y * 1e6)))
+    # RELATIVE to the smallest valid y so y*1e6 stays within f32 integer
+    # range (raw y*1e6 loses the 1e-6 tolerance above |y| ~ 17 m)
+    ybase = jnp.min(key_y)
+    order = jnp.lexsort((key_x, jnp.round((key_y - ybase) * 1e6)))
     return TreeRows(
         center=rows.center[order],
         ep1=rows.ep1[order],

@@ -81,6 +81,19 @@ def build_waypoints(graph: GvdGraph, params: AosParams, s: Statics) -> Waypoints
     return Waypoints(xy=xy, node_idx=node_idx, count=count)
 
 
+def current_cluster_index(target_wp, graph: GvdGraph):
+    """calculateClusterIndex (cpp:1633-1652), published on
+    /aos/current_cluster_index (cpp:1655-1663): each cluster owns 2
+    waypoints except the last which owns 3; -1 when the index is negative
+    or there are no clusters; the reference's loop quirk returns 0 (not
+    total-1) when the index is past the whole tour."""
+    total = jnp.sum(jnp.any(graph.label_node >= 0, axis=1).astype(jnp.int32))
+    in_tail = target_wp < 2 * (total - 1) + 3
+    cluster = jnp.where(target_wp < 2 * (total - 1), target_wp // 2, total - 1)
+    cluster = jnp.where(in_tail, cluster, 0)
+    return jnp.where((target_wp < 0) | (total <= 0), -1, cluster)
+
+
 def _append_origin(wp: Waypoints, params: AosParams) -> Waypoints:
     """Append the (0,0) origin-return waypoint unless the last waypoint is
     already within 0.2 m of it (cpp:299-310)."""

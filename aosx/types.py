@@ -135,6 +135,9 @@ class GvdGraph:
     edge_clearances: Any
     num_nodes: Any
     num_edges: Any
+    # i32 bitmask of tripped approximation guards (aosx.guards); not part of
+    # the reference message schema, defaults to 0 for hand-built graphs
+    guards: Any = dataclasses.field(default_factory=lambda: jnp.int32(0))
 
 
 @_dc
