@@ -39,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_STEP = 128
 _INF = 3.4e38
 
+# test hook: force interpret mode for every jfa_pass call (so the CPU test
+# suite can pin the bench-default kernel against the XLA lowering without
+# plumbing a flag through Statics) - see tests/test_pallas_kernels.py
+INTERPRET = False
+
 
 def _band_height(grid_h: int, hp: int) -> int:
     """Largest divisor of grid_h that is a multiple of 8 with a window
@@ -186,7 +191,8 @@ def jfa_pass(owner, ox, oy, step: int, S: int, origin_x, origin_y, res: float,
     """One 8-direction Jacobi JFA pass via the banded kernel. step must be
     <= MAX_STEP. Inputs/outputs are the full [H, W] carried planes."""
     H, W = owner.shape
-    one_pass, hp = _make_pass(H, W, step, S, float(res), interpret)
+    one_pass, hp = _make_pass(H, W, step, S, float(res),
+                              interpret or INTERPRET)
     o_pad = jnp.pad(owner, ((hp, hp), (0, 0)), constant_values=S)
     x_pad = jnp.pad(ox, ((hp, hp), (0, 0)), constant_values=1e9)
     y_pad = jnp.pad(oy, ((hp, hp), (0, 0)), constant_values=1e9)

@@ -34,6 +34,7 @@ long aosx_load_pcd_xyz(const char* path, float* out, long max_points) {
   long n_points = 0;
   std::vector<std::string> fields;
   std::vector<int> sizes, counts;
+  std::vector<std::string> types;
   std::string data_kind;
 
   while (std::fgets(line, sizeof(line), f)) {
@@ -58,6 +59,8 @@ long aosx_load_pcd_xyz(const char* path, float* out, long max_points) {
       fields = split(val);
     } else if (key == "SIZE") {
       for (auto& t : split(val)) sizes.push_back(std::stoi(t));
+    } else if (key == "TYPE") {
+      types = split(val);
     } else if (key == "COUNT") {
       for (auto& t : split(val)) counts.push_back(std::stoi(t));
     } else if (key == "POINTS") {
@@ -72,15 +75,28 @@ long aosx_load_pcd_xyz(const char* path, float* out, long max_points) {
     return -1;
   }
   if (counts.empty()) counts.assign(fields.size(), 1);
+  // COUNT/TYPE rows (when present) must cover every field, or the offset
+  // computation below would read out of bounds / misparse
+  if (counts.size() != fields.size() ||
+      (!types.empty() && types.size() != fields.size())) {
+    std::fclose(f);
+    return -1;
+  }
 
   int stride = 0, off_x = -1, off_y = -1, off_z = -1;
+  bool xyz_f32 = true;
   for (size_t i = 0; i < fields.size(); ++i) {
-    if (fields[i] == "x") off_x = stride;
-    if (fields[i] == "y") off_y = stride;
-    if (fields[i] == "z") off_z = stride;
+    if (fields[i] == "x" || fields[i] == "y" || fields[i] == "z") {
+      // the memcpy below assumes 4-byte IEEE floats; reject f64/int coords
+      // (the Python parser handles those dtypes correctly instead)
+      if (sizes[i] != 4 || (!types.empty() && types[i] != "F")) xyz_f32 = false;
+      if (fields[i] == "x") off_x = stride;
+      if (fields[i] == "y") off_y = stride;
+      if (fields[i] == "z") off_z = stride;
+    }
     stride += sizes[i] * counts[i];
   }
-  if (off_x < 0 || off_y < 0 || off_z < 0) {
+  if (off_x < 0 || off_y < 0 || off_z < 0 || !xyz_f32) {
     std::fclose(f);
     return -1;
   }

@@ -15,7 +15,7 @@ spec = OrchardSpec(n_rows=20, row_len=180.0, row_spacing=9.0, tree_spacing=1.0,
 pc, poly = make_orchard(jax.random.PRNGKey(0), spec, S)
 params = params_as_f32(AosParams())
 excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
-xy, keep, bounds = jax.jit(lambda pc, poly, pr, ex: jp.preprocess(pc, poly, pr, ex, S, ror_method='sorted'))(pc, poly, params, excl)
+xy, keep, bounds, _ = jax.jit(lambda pc, poly, pr, ex: jp.preprocess(pc, poly, pr, ex, S, ror_method='sorted'))(pc, poly, params, excl)
 grid = jax.jit(lambda a, k, b: jr.generate_grid(a, k, b, S))(xy, keep, bounds)
 infl = jax.jit(lambda g: jr.inflate(g, S))(grid)
 skel = jax.jit(lambda g: jsk.skeletonize(g, S))(infl)

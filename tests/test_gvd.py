@@ -55,9 +55,24 @@ def _mk(ores):
     return skel, seeds, rows
 
 
-@pytest.fixture(scope="module")
-def setup():
-    xyz, poly = make_orchard_np(OrchardSpec(n_rows=3, row_len=12.0), seed=3)
+# five orchard shapes/seeds (row counts, lengths, spacings, jitters); parity
+# scores were measured across all of them before pinning the thresholds
+# below (benchmarks/measure_gvd_parity.py: 0 node misses, 100 % edge
+# correspondence, >= 97 % direct)
+CONFIGS = [
+    (OrchardSpec(n_rows=3, row_len=12.0), 3),
+    (OrchardSpec(n_rows=2, row_len=8.0, origin=(5.0, 4.0)), 7),
+    (OrchardSpec(n_rows=4, row_len=14.0, row_spacing=3.0), 11),
+    (OrchardSpec(n_rows=3, row_len=10.0, row_spacing=5.0, jitter=0.25), 5),
+    (OrchardSpec(n_rows=5, row_len=12.0, row_spacing=2.5, origin=(4.0, 2.0)), 1),
+]
+
+
+@pytest.fixture(scope="module", params=list(range(len(CONFIGS))),
+                ids=[f"orchard{i}" for i in range(len(CONFIGS))])
+def setup(request):
+    spec, seed = CONFIGS[request.param]
+    xyz, poly = make_orchard_np(spec, seed=seed)
     ores = op.perceive(xyz, poly)
     skel, seeds, rows = _mk(ores)
     params = params_as_f32(AosParams())
@@ -118,21 +133,59 @@ def test_no_edge_crosses_skeleton(setup):
     assert bad == 0, f"{bad}/{e} edges cross the skeleton"
 
 
-def test_node_coverage(setup):
-    """Every oracle (Subdiv2D) node inside the grid has a jitted node within
-    3 grid cells - the grid-space construction finds the same junctions."""
-    _, g, ref, _ = setup
+def _match_nodes(g, ref, tol=3 * 0.05):
+    """Nearest jitted node per oracle node. Returns (nearest idx, min dist)."""
     n = int(g.num_nodes)
     jn = np.asarray(g.nodes)[:n]
-    tol = 3 * 0.05
-    misses = 0
-    for p in ref.nodes:
-        d = np.linalg.norm(jn - p, axis=1).min()
-        if d > tol:
-            misses += 1
-    assert misses <= max(2, int(0.1 * len(ref.nodes))), (
+    d = np.linalg.norm(jn[None, :, :] - np.asarray(ref.nodes)[:, None, :], axis=2)
+    return d.argmin(1), d.min(1)
+
+
+def test_node_coverage(setup):
+    """Every oracle (Subdiv2D) node inside the grid has a jitted node within
+    3 grid cells - the grid-space construction finds the same junctions.
+    Measured 0 misses across all CONFIGS; pinned at <= max(1, 2 %)."""
+    _, g, ref, _ = setup
+    _, mind = _match_nodes(g, ref)
+    misses = int((mind > 3 * 0.05).sum())
+    assert misses <= max(1, int(0.02 * len(ref.nodes))), (
         f"{misses}/{len(ref.nodes)} oracle nodes uncovered"
     )
+
+
+def test_edge_correspondence(setup):
+    """Structural edge parity vs the Subdiv2D oracle: map each oracle node to
+    its nearest jitted node (within 3 cells); every oracle edge between
+    matched nodes must exist in the jitted graph either directly or via one
+    intermediate node (the grid discretization sometimes splits a long facet
+    edge in two). Measured across CONFIGS: 100 % correspondence, >= 97 %
+    direct; pinned at >= 98 % / >= 90 % with <= 1 absolute miss."""
+    _, g, ref, _ = setup
+    nearest, mind = _match_nodes(g, ref)
+    e = int(g.num_edges)
+    jedges = np.asarray(g.edges)[:e]
+    adj = set()
+    nbr = {}
+    for a, b in jedges:
+        adj.add((min(a, b), max(a, b)))
+        nbr.setdefault(int(a), set()).add(int(b))
+        nbr.setdefault(int(b), set()).add(int(a))
+    direct = via1 = miss = 0
+    tol = 3 * 0.05
+    for a, b in ref.edges:
+        if mind[a] > tol or mind[b] > tol or nearest[a] == nearest[b]:
+            continue
+        ma, mb = int(nearest[a]), int(nearest[b])
+        if (min(ma, mb), max(ma, mb)) in adj:
+            direct += 1
+        elif nbr.get(ma, set()) & nbr.get(mb, set()):
+            via1 += 1
+        else:
+            miss += 1
+    tot = direct + via1 + miss
+    assert tot > 0
+    assert miss <= 1 and (direct + via1) / tot >= 0.98, (direct, via1, miss)
+    assert direct / tot >= 0.90, (direct, via1, miss)
 
 
 def test_label_decisions(setup):

@@ -46,7 +46,7 @@ def jax_grids(data):
 
     @jax.jit
     def run(pc, poly, params, excl):
-        xy, keep, bounds = jpoints.preprocess(pc, poly, params, excl, S)
+        xy, keep, bounds, _ = jpoints.preprocess(pc, poly, params, excl, S)
         grid = jraster.generate_grid(xy, keep, bounds, S)
         inflated = jraster.inflate(grid, S)
         occupancy = jraster.mark_borders(inflated)
@@ -115,6 +115,8 @@ def test_ror_sorted_matches_exact():
     ).astype(np.float32)
     valid = np.ones(4000, bool)
     valid[3900:] = False
-    a = np.asarray(ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="exact"))
-    b = np.asarray(ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="sorted"))
+    a, _ = ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="exact")
+    b, span = ror_counts(jnp.asarray(xyz), jnp.asarray(valid), 0.2, method="sorted")
+    a, b = np.asarray(a), np.asarray(b)
     assert (a[:3900] == b[:3900]).all()
+    assert not bool(span)  # exactness precondition holds on this data
