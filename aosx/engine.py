@@ -137,8 +137,11 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     return Robot(xy=new_xy, yaw=new_yaw)
 
 
-def step(state: EngineState, world: World, params: AosParams, s: Statics):
-    """One engine tick. Returns (state, metrics dict)."""
+def step(state: EngineState, world: World, params: AosParams, s: Statics,
+         *, v_dt=jnp.float32(0.12)):
+    """One engine tick. Returns (state, metrics dict). v_dt is the stand-in
+    robot's per-tick travel (the external controller's speed x tick period;
+    tests raise it to shorten episodes without changing FSM semantics)."""
     # 1. control tick on the current /plan (odometry message equivalent)
     ctrl = on_path(state.control, state.plan)
     ctrl, fired, mod, goal_xy, goal_yaw = control_tick(
@@ -176,7 +179,8 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics):
     )
 
     # 3. robot kinematics
-    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy, ctrl.goal_yaw)
+    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
+                        ctrl.goal_yaw, v_dt=v_dt)
 
     new_state = EngineState(
         robot=robot,
@@ -246,13 +250,14 @@ def replay_episode(
     return jax.lax.scan(frame_body, st0, pc_frames)
 
 
-def episode(world: World, params: AosParams, s: Statics, n_steps: int):
+def episode(world: World, params: AosParams, s: Statics, n_steps: int,
+            *, v_dt=jnp.float32(0.12)):
     """Full closed-loop rollout via lax.scan. Returns (final state, stacked
     per-step metrics)."""
     st0 = initial_state(world, s)
 
     def body(st, _):
-        st, m = step(st, world, params, s)
+        st, m = step(st, world, params, s, v_dt=v_dt)
         return st, m
 
     return jax.lax.scan(body, st0, None, length=n_steps)

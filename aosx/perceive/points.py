@@ -117,12 +117,21 @@ def _ror_counts_sorted(pts, n, r2, W: int = 2048):
     right = jnp.concatenate([blocks[1:], far2], axis=0)
     trip = jnp.concatenate([left, blocks, right], axis=1)   # [Nb, 3W, 3]
 
+    # row-chunked tiles: the full [W, 3W] f32 tile is 50 MB, which under a
+    # vmapped Monte-Carlo batch multiplies into HBM-crashing transients;
+    # [C, 3W] chunks keep it ~6 MB per orchard, same counts
+    C = min(512, W)
+
     def body(carry, idx):
-        b = blocks[idx]                                # [W,3]
         t = trip[idx]                                  # [3W,3]
-        d2 = jnp.sum((b[:, None, :] - t[None, :, :]) ** 2, axis=-1)
-        cnt = jnp.sum(d2 <= r2, axis=1) - 1            # exclude self
-        return carry, cnt
+
+        def chunk(_, j):
+            b = jax.lax.dynamic_slice(blocks[idx], (j * C, 0), (C, 3))
+            d2 = jnp.sum((b[:, None, :] - t[None, :, :]) ** 2, axis=-1)
+            return None, jnp.sum(d2 <= r2, axis=1) - 1  # exclude self
+
+        _, cnt = jax.lax.scan(chunk, None, jnp.arange(W // C))
+        return carry, cnt.reshape(-1)
 
     _, cnts = jax.lax.scan(body, None, jnp.arange(Nb))
     cnt_sorted = cnts.reshape(-1)

@@ -200,12 +200,24 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     ty = nb_concat(syb, jnp.float32(1e9))
     tc = nb_concat(scb, jnp.int32(K))
 
+    # row-chunked pairwise tiles: a full [B, 3B] f32 tile is 50 MB at B=4096,
+    # which under a vmapped Monte-Carlo batch multiplies into HBM-crashing
+    # transients; [C, 3B] chunks keep the per-orchard transient ~6 MB with
+    # bit-identical results (max-of-maxes)
+    C = min(512, B)
+
     def blk(carry, i):
-        best = carry  # [K+1]
-        d2 = (sxb[i][:, None] - tx[i][None, :]) ** 2 + (syb[i][:, None] - ty[i][None, :]) ** 2
-        same = scb[i][:, None] == tc[i][None, :]
-        row_max = jnp.max(jnp.where(same, d2, -1.0), axis=1)
-        best = jnp.maximum(best, jax.ops.segment_max(row_max, scb[i], num_segments=K + 1))
+        def chunk(best, j):
+            rx = jax.lax.dynamic_slice(sxb[i], (j * C,), (C,))
+            ry = jax.lax.dynamic_slice(syb[i], (j * C,), (C,))
+            rc = jax.lax.dynamic_slice(scb[i], (j * C,), (C,))
+            d2 = (rx[:, None] - tx[i][None, :]) ** 2 + (ry[:, None] - ty[i][None, :]) ** 2
+            same = rc[:, None] == tc[i][None, :]
+            row_max = jnp.max(jnp.where(same, d2, -1.0), axis=1)
+            best = jnp.maximum(best, jax.ops.segment_max(row_max, rc, num_segments=K + 1))
+            return best, None
+
+        best, _ = jax.lax.scan(chunk, carry, jnp.arange(B // C))
         return best, None
 
     best, _ = jax.lax.scan(blk, jnp.full((K + 1,), -1.0), jnp.arange(nblk))

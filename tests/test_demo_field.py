@@ -33,8 +33,9 @@ DEMO_STATICS = Statics(
     max_rows=16,
     max_seeds_per_row=96,
     max_seeds=512,
-    max_nodes=1024,
-    max_edges=4096,
+    max_nodes=512,
+    max_edges=2048,
+    jfa_dynamic_shifts=True,  # CPU test
 )
 
 
@@ -95,9 +96,11 @@ def test_demo_field_episode_completes():
     assert int(world.graph.num_edges) > 10
     assert int(world.waypoints.count) >= 4
 
-    n_steps = 4400  # two ~70 m passes + return at 0.12 m/tick
+    # 0.36 m/tick test robot (3x the default stand-in speed, same FSM
+    # semantics): two ~70 m corridor passes + the return leg in ~1500 ticks
+    n_steps = 1500
     final, metrics = jax.jit(
-        lambda w: engine.episode(w, params, s, n_steps)
+        lambda w: engine.episode(w, params, s, n_steps, v_dt=jnp.float32(0.36))
     )(world)
     assert bool(np.asarray(final.mission.exploration_completed))
     assert int(np.asarray(metrics["status"])[-1]) == 3  # Exploration Complete
