@@ -110,6 +110,8 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/aosx_run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", type=str, default="default", choices=["default", "cpu"])
+    ap.add_argument("--cells", action="store_true",
+                    help="overlay the Voronoi ownership cells in the figure")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -137,8 +139,9 @@ def main():
         pc, poly = make_orchard(jax.random.PRNGKey(args.seed), spec, S)
 
     excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
-    world = jax.jit(
-        lambda pc, poly, pr, ex: engine.prepare_world(pc, poly, pr, ex, S, ror_method="exact")
+    world, perceive_out, owner = jax.jit(
+        lambda pc, poly, pr, ex: engine.prepare_world_full(
+            pc, poly, pr, ex, S, ror_method="exact", with_owner=True)
     )(pc, poly, params, excl)
     final, metrics = jax.jit(lambda w, p: engine.episode(w, p, S, args.steps))(world, params)
 
@@ -154,6 +157,8 @@ def main():
             os.path.join(args.out, "episode.png"), world, state=final,
             metrics=jax.tree_util.tree_map(np.asarray, metrics),
             resolution=S.resolution,
+            seeds=perceive_out.seeds, rows=perceive_out.rows_sorted,
+            owner=owner, show_cells=args.cells,
         )
         print(f"figure: {args.out}/episode.png")
     except Exception as e:  # matplotlib optional

@@ -73,14 +73,23 @@ class EngineState:
     t: Any
 
 
-def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
-                  s: Statics, *, ror_method: str = "sorted") -> World:
-    """One full perception + graph pass over a static map."""
+def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
+                       exclusions, s: Statics, *, ror_method: str = "sorted",
+                       with_owner: bool = False):
+    """One full perception + graph pass over a static map. Returns
+    (World, PerceiveOut, owner-plane-or-None); the extras feed the renderer's
+    seed / tree-row / Voronoi-cell marker families (io/render.py)."""
     out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method)
     graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s)
     costmat = cost_matrix(graph, s)
     wp = build_waypoints(graph, params, s)
-    return World(
+    owner = None
+    if with_owner:
+        from .gvd.graph import merge_seeds
+        from .gvd.voronoi import jump_flood
+
+        owner = jump_flood(out.skeleton, merge_seeds(out.seeds, params, s), s)
+    world = World(
         skeleton=out.skeleton,
         occupancy=out.occupancy,
         graph=graph,
@@ -88,6 +97,15 @@ def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
         waypoints=wp,
         guards=out.guards | graph.guards,
     )
+    return world, out, owner
+
+
+def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
+                  s: Statics, *, ror_method: str = "sorted") -> World:
+    """One full perception + graph pass over a static map."""
+    world, _, _ = prepare_world_full(pc, poly, params, exclusions, s,
+                                     ror_method=ror_method)
+    return world
 
 
 def initial_state(world: World, s: Statics) -> EngineState:
