@@ -15,6 +15,7 @@ GUARD_CLUSTER_LEN = 4     # a cluster exceeds the banded exact-length block
 GUARD_EDGE_COARSE = 8     # an edge sampled coarser than the reference
 GUARD_PROX_PPN = 16       # a node had more than PPN proximity partners
 GUARD_CROSS_DENSE = 32    # packed crossing overflowed -> dense fallback
+GUARD_CCL_CELL_FALLBACK = 64  # run-level CCL overflowed -> cell-level path
 
 _NAMES = {
     GUARD_ROR_SPAN: "ror_sorted_block_span",
@@ -23,6 +24,7 @@ _NAMES = {
     GUARD_EDGE_COARSE: "edge_sampling_coarse",
     GUARD_PROX_PPN: "proximity_partners_capped",
     GUARD_CROSS_DENSE: "crossing_dense_fallback",
+    GUARD_CCL_CELL_FALLBACK: "ccl_cell_level_fallback",
 }
 
 

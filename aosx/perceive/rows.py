@@ -127,6 +127,104 @@ def union_find_labels(nbrs, s: Statics, L0=None):
     return L
 
 
+def run_level_labels(cell_flat, cell_ok, h: int, w: int, s: Statics):
+    """Connected-component labels via a RUN-LEVEL union-find.
+
+    Horizontal runs are the unit of merging: on real skeletons they
+    outnumber cells ~10:1 less (bench instance: 36,325 cells -> 3,753 runs
+    with 4,404 run-adjacency pairs - benchmarks/probe_runs.py), so every
+    union-find round's gather/scatter footprint shrinks from [M,6]+[M]
+    to [P]+[R] with R = P = max_skel_cells // 4. Semantics are identical
+    to the cell-level path (root = min compact cell index == the
+    reference's BFS discovery order, aos_seed_gen_node.cpp:970-1083):
+    a component's minimum cell always starts a run (its W neighbor cannot
+    be in the mask), run ids are monotone in compact order, so the minimum
+    run id's start cell IS the minimum cell.
+
+    Returns (L [M] i32 root compact index per cell, overflow bool). When
+    runs or pairs overflow the static buffers the caller must use the
+    cell-level path (we return overflow=True and the fast-path labels are
+    garbage - the caller wraps both in lax.cond)."""
+    M = cell_flat.shape[0]
+    R = max(256, s.max_skel_cells // 4)   # static run / pair buffer sizes
+    P = R
+
+    # run decomposition (compaction preserves raster order, so a run's
+    # members are consecutive compact slots)
+    prev_flat = jnp.concatenate([jnp.array([-9], jnp.int32), cell_flat[:-1]])
+    xcol = jnp.where(cell_flat >= 0, cell_flat % w, 0)
+    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok
+    is_start = cell_ok & ~cont
+    nrun = jnp.sum(is_start.astype(jnp.int32))
+    rid = jnp.cumsum(is_start.astype(jnp.int32)) - 1        # [M]
+
+    # run id of every grid cell (h*w+1 sentinel row holds -1 = "not a cell")
+    tgt = jnp.where(cell_ok, jnp.maximum(cell_flat, 0), h * w + 1)
+    rid_plane = (
+        jnp.full((h * w + 1,), -1, jnp.int32).at[tgt].set(rid, mode="drop")
+    )
+
+    # adjacency pairs from the 3 BACKWARD neighbor columns (NW, N, NE);
+    # W/E are intra-run by construction and forward duplicates are
+    # symmetric (the hook scatters to both roots)
+    safe = jnp.maximum(cell_flat, 0)
+    cy = safe // w
+    cx = safe % w
+    pas, pbs, oks = [], [], []
+    for dy, dx in _NEIGH[:3]:
+        ny, nx = cy + dy, cx + dx
+        inb = cell_ok & (ny >= 0) & (nx >= 0) & (nx < w)
+        nflat = jnp.where(inb, ny * w + nx, h * w)
+        rnb = rid_plane[nflat]
+        oks.append(inb & (rnb >= 0))
+        pas.append(rid)
+        pbs.append(rnb)
+    pa_all = jnp.concatenate(pas)
+    pb_all = jnp.concatenate(pbs)
+    ok_all = jnp.concatenate(oks)
+    npairs = jnp.sum(ok_all.astype(jnp.int32))
+
+    from ..ops import compact_take, compact_true
+
+    sel, _ = compact_true(ok_all, P)
+    pa = compact_take(pa_all, sel, R)
+    pb = compact_take(pb_all, sel, R)
+    pok = sel >= 0
+
+    def body(state):
+        Lr, _, it = state
+        ca = Lr[jnp.minimum(pa, R - 1)]
+        cb = Lr[jnp.minimum(pb, R - 1)]
+        m = jnp.minimum(ca, cb)
+        Lr1 = Lr.at[jnp.where(pok, ca, R)].min(m, mode="drop")
+        Lr1 = Lr1.at[jnp.where(pok, cb, R)].min(m, mode="drop")
+
+        def cbody(_, Lc):
+            return jnp.minimum(Lc, Lc[Lc])
+
+        Lr1 = jax.lax.fori_loop(0, 4, cbody, Lr1)
+        return Lr1, jnp.any(Lr1 != Lr), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < s.ccl_max_iters)
+
+    Lr0 = jnp.arange(R, dtype=jnp.int32)
+    Lr, _, _ = jax.lax.while_loop(cond, body, (Lr0, jnp.bool_(True), jnp.int32(0)))
+
+    # root run -> its start's compact index (= the component's min cell)
+    stgt = jnp.where(is_start & (rid < R), rid, R)
+    run_start_idx = (
+        jnp.full((R + 1,), M, jnp.int32)
+        .at[stgt]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")[:R]
+    )
+    root_run = Lr[jnp.clip(rid, 0, R - 1)]
+    L = jnp.where(cell_ok, run_start_idx[root_run], jnp.arange(M, dtype=jnp.int32))
+    overflow = (nrun > R) | (npairs > P)
+    return L, overflow
+
+
 def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     """clusterOccupiedCells (cpp:970-1083): components of occupied & in-polygon
     cells. Returns padded cluster arrays (grid-unit centers, exact lengths in
@@ -143,12 +241,20 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
 
     cell_flat, cell_ok, inv = compact_cells(mask, s)
     M = cell_flat.shape[0]
-    nbrs = neighbor_table(cell_flat, cell_ok, inv, h, w)
-    # run-collapse init keeps each horizontal run label-uniform, so the
-    # W (col 3) and E (col 4) neighbors can never contribute a new minimum;
-    # dropping them cuts the per-round [M,k] label gather from 8 to 6 cols
-    nbrs6 = nbrs[:, jnp.array([0, 1, 2, 5, 6, 7])]
-    L = union_find_labels(nbrs6, s, L0=run_collapse_init(cell_flat, cell_ok, w))
+    # fast path: run-level union-find (R = P = max_skel_cells // 4 buffers);
+    # exact cell-level fallback when runs/pairs overflow those buffers
+    L_fast, uf_overflow = run_level_labels(cell_flat, cell_ok, h, w, s)
+
+    def _cell_level(_):
+        nbrs = neighbor_table(cell_flat, cell_ok, inv, h, w)
+        # run-collapse init keeps each horizontal run label-uniform, so the
+        # W (col 3) and E (col 4) neighbors never contribute a new minimum
+        nbrs6 = nbrs[:, jnp.array([0, 1, 2, 5, 6, 7])]
+        return union_find_labels(
+            nbrs6, s, L0=run_collapse_init(cell_flat, cell_ok, w)
+        )
+
+    L = jax.lax.cond(uf_overflow, _cell_level, lambda _: L_fast, None)
 
     # cluster ids: rank of root among roots (raster == discovery order)
     is_root = cell_ok & (L == jnp.arange(M))
@@ -226,12 +332,17 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # runtime guards for the documented caps (PARITY.md, VERDICT r1 #7):
     # cells beyond max_skel_cells are dropped; clusters wider than the band
     # get under-estimated lengths
-    from ..guards import GUARD_CLUSTER_LEN, GUARD_SKEL_OVERFLOW
+    from ..guards import (
+        GUARD_CCL_CELL_FALLBACK,
+        GUARD_CLUSTER_LEN,
+        GUARD_SKEL_OVERFLOW,
+    )
 
     n_cells_true = jnp.sum(mask.astype(jnp.int32))
     guards = jnp.where(n_cells_true > M, jnp.int32(GUARD_SKEL_OVERFLOW), 0)
     guards |= jnp.where((B < M) & jnp.any(count > B),
                         jnp.int32(GUARD_CLUSTER_LEN), 0)
+    guards |= jnp.where(uf_overflow, jnp.int32(GUARD_CCL_CELL_FALLBACK), 0)
 
     return dict(
         guards=guards,

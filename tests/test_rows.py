@@ -74,6 +74,100 @@ def test_rows_match(setup):
         assert np.allclose(ep2[i], r.end_point, atol=1e-4), (i, ep2[i], r.end_point)
 
 
+@pytest.mark.parametrize("seed,density", [(0, 0.08), (1, 0.25), (2, 0.6), (3, 0.02)])
+def test_run_level_labels_match_cell_level(seed, density):
+    """The run-level union-find fast path must produce exactly the labels of
+    the cell-level path on arbitrary masks (random densities cover isolated
+    cells, zigzag chains, and near-dense blobs)."""
+    rng = np.random.default_rng(seed)
+    h, w = 48, 64
+    mask = rng.random((h, w)) < density
+    mask_j = jnp.zeros((S.grid_h, S.grid_w), bool).at[:h, :w].set(jnp.asarray(mask))
+
+    @jax.jit
+    def both(mask_j):
+        cell_flat, cell_ok, inv = jrows.compact_cells(mask_j, S)
+        L_fast, overflow = jrows.run_level_labels(
+            cell_flat, cell_ok, S.grid_h, S.grid_w, S
+        )
+        nbrs = jrows.neighbor_table(cell_flat, cell_ok, inv, S.grid_h, S.grid_w)
+        nbrs6 = nbrs[:, jnp.array([0, 1, 2, 5, 6, 7])]
+        L_cell = jrows.union_find_labels(
+            nbrs6, S, L0=jrows.run_collapse_init(cell_flat, cell_ok, S.grid_w)
+        )
+        return L_fast, L_cell, overflow
+
+    L_fast, L_cell, overflow = both(mask_j)
+    if bool(overflow):
+        # dense masks exceed the run/pair buffers: the production path
+        # (cluster_grid) takes the cell-level branch; here we only check
+        # the detection fires where expected
+        assert density >= 0.2, "sparse mask unexpectedly overflowed"
+    else:
+        np.testing.assert_array_equal(np.asarray(L_fast), np.asarray(L_cell))
+
+
+def test_run_level_overflow_falls_back_exactly():
+    """cluster_grid must produce cell-level-exact components when the
+    run-level buffers overflow (GUARD_CCL_CELL_FALLBACK set)."""
+    from aosx.guards import GUARD_CCL_CELL_FALLBACK
+
+    rng = np.random.default_rng(7)
+    h, w = 40, 50
+    mask = rng.random((h, w)) < 0.55
+    occ = np.zeros((S.grid_h, S.grid_w), np.uint8)
+    occ[:h, :w] = mask
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0),
+        origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(S.grid_h),
+        w_cells=jnp.int32(S.grid_w),
+    )
+    poly_j = Polygon.from_array(np.zeros((0, 2), np.float32), S)
+    params = params_as_f32(AosParams())
+    clusters = jax.jit(lambda g, p, pr: jrows.cluster_grid(g, p, pr, S))(
+        grid, poly_j, params
+    )
+    assert int(clusters["guards"]) & GUARD_CCL_CELL_FALLBACK
+
+    # oracle BFS component count + sizes on the same mask
+    from aosx.oracle.perceive import Grid as OGrid, cluster_occupied_cells
+
+    og = OGrid(
+        data=(occ * 100).astype(np.int8),
+        origin_x=0.0,
+        origin_y=0.0,
+        resolution=float(S.resolution),
+    )
+    ref = cluster_occupied_cells(og, None)
+    n = int(clusters["n_clusters"])
+    assert n == len(ref)
+    # discovery order on both sides; only the first max_clusters are kept
+    kept = min(n, S.max_clusters)
+    sizes = np.asarray(clusters["count"])[:kept].astype(int).tolist()
+    assert sizes == [c.size for c in ref[:kept]]
+
+
+def test_run_level_labels_diagonal_staircase():
+    """Worst case for run collapse: every cell its own run, one long chain."""
+    side = min(S.grid_h, S.grid_w, 200)
+    mask_j = jnp.zeros((S.grid_h, S.grid_w), bool)
+    idx = jnp.arange(side)
+    mask_j = mask_j.at[idx, idx].set(True)
+
+    @jax.jit
+    def fast(mask_j):
+        cell_flat, cell_ok, _ = jrows.compact_cells(mask_j, S)
+        return jrows.run_level_labels(cell_flat, cell_ok, S.grid_h, S.grid_w, S)
+
+    L, overflow = fast(mask_j)
+    assert not bool(overflow)
+    lab = np.asarray(L)[np.asarray(jnp.arange(side))]
+    # one component rooted at compact index 0
+    assert (lab == 0).all()
+
+
 def test_rows_sorted(setup):
     res, _, _, rows_sorted = setup
     nv = int(np.asarray(rows_sorted.valid).sum())
