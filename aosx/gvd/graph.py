@@ -222,94 +222,134 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     with per-entry sample caps: num = min(len/step + 1, nmax-1), samples
     k = 0..num at t = k/num (so the final sample lands on the endpoint).
 
-    PACKED evaluation: XLA:TPU gathers run near-scalar (~10-18 ns/element,
-    CLAUDE.md), so the dense [E, T] grids pay for every padding sample. Real
-    GVD ridge edges connect neighboring Voronoi vertices (a few cells apart),
-    so the true sample count is ~10x smaller than E*T. We lay the samples of
-    all entries end-to-end in a [cap] buffer: per-entry offsets by cumsum,
-    per-slot edge parameters by a start-scatter + hold-last associative scan
-    (pure vector work), ONE flat occupancy gather, then per-entry hit counts
-    from a cumsum difference gathered at the entry boundaries (2 small
-    gathers). If the true total overflows `cap`, falls back to the dense
-    path (jax.lax.cond) so decisions never change, only speed."""
+    COARSE-TO-FINE packed evaluation. XLA:TPU gathers run near-scalar
+    (~10-18 ns/element, CLAUDE.md), so cost == number of occupancy lookups.
+    Two exact-decision passes:
+
+    1. COARSE: every 4th fine sample, looked up in the occupancy grid
+       dilated by Chebyshev radius 2. Fine samples are <= res/2 apart, so
+       any fine sample lies within 2 fine steps (<= 1 cell) of a coarse
+       sample; the 2-cell dilation therefore catches every possible fine
+       hit (no false negatives). Entries whose per-sample spacing exceeds
+       res/2 (num capped by nmax) break that bound - their coarse slots are
+       force-flagged so the fine pass evaluates them fully.
+    2. FINE: exact sampling of the ORIGINAL grid, but only in +-2-sample
+       windows (8 lanes) around coarse hits - ~10x fewer lookups than the
+       all-fine packed layout on real GVD candidate sets.
+
+    Slot layout (both passes): entries laid end-to-end in a [cap'] buffer:
+    per-entry offsets by cumsum, per-slot edge parameters by a start-scatter
+    + hold-last associative scan (pure vector work). On coarse-slot or
+    window overflow, falls back to the dense path (jax.lax.cond) so
+    decisions never change, only speed."""
     res = jnp.float32(s.resolution)
     step = res * 0.5
     E = a.shape[0]
     length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
     num_raw = (length / step).astype(jnp.int32) + 1
     num = jnp.minimum(num_raw, nmax - 1)
-    nsamp = jnp.where(valid, num + 1, 0)
-    off = jnp.cumsum(nsamp) - nsamp          # exclusive prefix
+    capped = num_raw > nmax - 1            # spacing coarser than res/2
+    C4 = 4                                 # coarse factor
+    numc = (num + C4 - 1) // C4            # coarse samples = 0..numc
+    nsamp = jnp.where(valid, numc + 1, 0)
+    off = jnp.cumsum(nsamp) - nsamp        # exclusive prefix
     total = off[-1] + nsamp[-1]
 
-    # 2D slot layout [NR, NC]: the flat 1-D scans over `cap` slots compile
-    # pathologically on the TPU backend at cap ~1M; lane-dim scans over a
-    # grid-like 2D shape plus a tiny per-row carry scan are equivalent and
-    # compile like the (already shipping) full-grid cumulative ops.
+    # 2D slot layout [NR, NC]: flat 1-D scans over ~1M slots compile
+    # pathologically on the TPU backend; lane-dim scans over a grid-like 2D
+    # shape plus a tiny per-row carry scan are equivalent.
     NC = 4096
-    NR = (cap + NC - 1) // NC
+    NR = (cap // C4 + NC - 1) // NC
     capp = NR * NC
+    F = max(4096, cap // 32)               # fine-window buffer
 
-    def packed(_):
-        dx = b[:, 0] - a[:, 0]
-        dy = b[:, 1] - a[:, 1]
-        rows = jnp.stack(
-            [a[:, 0], a[:, 1], dx, dy, num.astype(jnp.float32),
-             off.astype(jnp.float32), jnp.ones((E,), jnp.float32),
-             jnp.zeros((E,), jnp.float32)], axis=1)          # [E,8]
-        tgt = jnp.where((nsamp > 0) & (off < capp), off, capp)
-        table = (jnp.zeros((capp + 1, 8), jnp.float32)
-                 .at[tgt].set(rows, mode="drop")[:capp])
-        t2 = table.reshape(NR, NC, 8)
-        flag = t2[:, :, 6] > 0.5                             # [NR,NC]
+    # occupancy dilated by Chebyshev radius 2 (separable 1x5 / 5x1 max)
+    occ1 = (grid.occ == 1).astype(jnp.uint8)
+    dil = jax.lax.reduce_window(occ1, jnp.uint8(0), jax.lax.max,
+                                (1, 5), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(dil, jnp.uint8(0), jax.lax.max,
+                                (5, 1), (1, 1), "SAME")
 
-        def op(x, y):
-            fx, vx = x
-            fy, vy = y
-            return fx | fy, jnp.where(fy[..., None], vy, vx)
+    dx = b[:, 0] - a[:, 0]
+    dy = b[:, 1] - a[:, 1]
+    eidx = jnp.arange(E, dtype=jnp.float32)
+    rows = jnp.stack(
+        [a[:, 0], a[:, 1], dx, dy, num.astype(jnp.float32),
+         off.astype(jnp.float32), eidx, capped.astype(jnp.float32),
+         jnp.ones((E,), jnp.float32)], axis=1)           # [E,9]
+    tgt = jnp.where((nsamp > 0) & (off < capp), off, capp)
+    table = (jnp.zeros((capp + 1, 9), jnp.float32)
+             .at[tgt].set(rows, mode="drop")[:capp])
+    t2 = table.reshape(NR, NC, 9)
+    flag = t2[:, :, 8] > 0.5                             # [NR,NC]
 
-        # hold-last within each row, then carry the last start of preceding
-        # rows into slots before a row's first start
-        f_in, v_in = jax.lax.associative_scan(op, (flag, t2[:, :, :6]), axis=1)
-        f_last = f_in[:, -1]                                  # [NR]
-        v_last = v_in[:, -1]                                  # [NR,6]
-        f_c, v_c = jax.lax.associative_scan(op, (f_last, v_last), axis=0)
-        carry = jnp.concatenate([jnp.zeros((1, 6), jnp.float32), v_c[:-1]], 0)
-        vals = jnp.where(f_in[..., None], v_in, carry[:, None, :])  # [NR,NC,6]
+    def op(x, y):
+        fx, vx = x
+        fy, vy = y
+        return fx | fy, jnp.where(fy[..., None], vy, vx)
 
-        axs, ays, dxs, dys, nums, offs = (vals[:, :, i] for i in range(6))
-        slot = (jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 0) * NC
-                + jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 1))
-        k = slot.astype(jnp.float32) - offs
-        t = jnp.minimum(k / jnp.maximum(nums, 1.0), 1.0)
-        px = axs + t * dxs
-        py = ays + t * dys
-        mx = ((px - grid.origin_x) / res).astype(jnp.int32)
-        my = ((py - grid.origin_y) / res).astype(jnp.int32)
-        ing = (mx >= 0) & (mx < grid.w_cells) & (my >= 0) & (my < grid.h_cells)
-        Hs, Ws = grid.occ.shape
-        flat = jnp.clip(my, 0, Hs - 1) * Ws + jnp.clip(mx, 0, Ws - 1)
-        occ = grid.occ.reshape(-1)[flat.reshape(-1)].reshape(NR, NC) == 1
-        hit = (occ & ing & (slot < total)).astype(jnp.int32)
-        # segmented prefix sum: in-row cumsum + exclusive row-total carry
-        rsum = jnp.cumsum(hit, axis=1)
-        rcarry = jnp.cumsum(rsum[:, -1]) - rsum[:, -1]        # [NR] exclusive
-        Hfull = (rsum + rcarry[:, None]).reshape(-1)
-        Hc = jnp.concatenate([jnp.zeros((1,), jnp.int32), Hfull])
-        lo = Hc[jnp.minimum(off, capp)]
-        hi = Hc[jnp.minimum(off + nsamp, capp)]
-        return hi - lo > 0
+    # hold-last within each row, then carry the last start of preceding
+    # rows into slots before a row's first start
+    f_in, v_in = jax.lax.associative_scan(op, (flag, t2[:, :, :8]), axis=1)
+    f_last = f_in[:, -1]                                  # [NR]
+    v_last = v_in[:, -1]                                  # [NR,8]
+    f_c, v_c = jax.lax.associative_scan(op, (f_last, v_last), axis=0)
+    carry = jnp.concatenate([jnp.zeros((1, 8), jnp.float32), v_c[:-1]], 0)
+    vals = jnp.where(f_in[..., None], v_in, carry[:, None, :])  # [NR,NC,8]
+
+    Hs, Ws = grid.occ.shape
+    slot = (jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 0) * NC
+            + jax.lax.broadcasted_iota(jnp.int32, (NR, NC), 1))
+    m = slot.astype(jnp.float32) - vals[:, :, 5]          # coarse index
+    nums = vals[:, :, 4]
+    tt = jnp.minimum(m * C4 / jnp.maximum(nums, 1.0), 1.0)
+    px = vals[:, :, 0] + tt * vals[:, :, 2]
+    py = vals[:, :, 1] + tt * vals[:, :, 3]
+    mx = ((px - grid.origin_x) / res).astype(jnp.int32)
+    my = ((py - grid.origin_y) / res).astype(jnp.int32)
+    # clamped (no in-grid mask): a coarse sample just outside the grid can
+    # still cover an in-grid fine hit; the fine pass applies the exact mask
+    flat = jnp.clip(my, 0, Hs - 1) * Ws + jnp.clip(mx, 0, Ws - 1)
+    dhit = dil.reshape(-1)[flat.reshape(-1)].reshape(NR, NC) == 1
+    hitc = (dhit | (vals[:, :, 7] > 0.5)) & (slot < total)
+    nwin_true = jnp.sum(hitc.astype(jnp.int32))
+
+    from ..ops import compact_take, compact_true
+
+    def fine(_):
+        wsel, _ = compact_true(hitc.reshape(-1), F)       # slot indices
+        wv = compact_take(vals.reshape(capp, 8), wsel, 0.0)   # [F,8]
+        wok = wsel >= 0
+        wnum = jnp.maximum(wv[:, 4], 1.0)
+        wm = wsel.astype(jnp.float32) - wv[:, 5]
+        fc = jnp.minimum(wm * C4, wv[:, 4])               # center fine idx
+        fi = fc[:, None] - 2.0 + jnp.arange(8, dtype=jnp.float32)[None, :]
+        fok = (fi >= 0.0) & (fi <= wv[:, 4:5]) & wok[:, None]
+        t = jnp.clip(fi, 0.0, wv[:, 4:5]) / wnum[:, None]
+        fpx = wv[:, 0:1] + t * wv[:, 2:3]
+        fpy = wv[:, 1:2] + t * wv[:, 3:4]
+        fmx = ((fpx - grid.origin_x) / res).astype(jnp.int32)
+        fmy = ((fpy - grid.origin_y) / res).astype(jnp.int32)
+        ing = (fmx >= 0) & (fmx < grid.w_cells) & (fmy >= 0) & (fmy < grid.h_cells)
+        fflat = jnp.clip(fmy, 0, Hs - 1) * Ws + jnp.clip(fmx, 0, Ws - 1)
+        focc = grid.occ.reshape(-1)[fflat.reshape(-1)].reshape(F, 8) == 1
+        whit = jnp.any(focc & ing & fok, axis=1)
+        we = jnp.where(wok, wv[:, 6].astype(jnp.int32), E)
+        out = (jnp.zeros((E + 1,), jnp.int32)
+               .at[we].max(whit.astype(jnp.int32), mode="drop"))
+        return out[:E] > 0
 
     def dense(_):
         return _edge_crossing_dense(grid, a, b, valid, num, s, 256)
 
-    crossing = jax.lax.cond(total <= capp, packed, dense, None)
+    ok_fast = (total <= capp) & (nwin_true <= F)
+    crossing = jax.lax.cond(ok_fast, fine, dense, None)
 
     from ..guards import GUARD_CROSS_DENSE, GUARD_EDGE_COARSE
 
     guards = jnp.where(jnp.any(valid & (num_raw > nmax - 1)),
                        jnp.int32(GUARD_EDGE_COARSE), 0)
-    guards |= jnp.where(total > capp, jnp.int32(GUARD_CROSS_DENSE), 0)
+    guards |= jnp.where(~ok_fast, jnp.int32(GUARD_CROSS_DENSE), 0)
     return crossing & valid & (length >= 1e-6), guards
 
 

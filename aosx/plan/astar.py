@@ -30,10 +30,16 @@ def cost_matrix(graph: GvdGraph, s: Statics):
     a = jnp.where(graph.edge_valid, graph.edges[:, 0], N)
     b = jnp.where(graph.edge_valid, graph.edges[:, 1], N)
     lens = jnp.where(graph.edge_valid, graph.edge_lengths, INF)
-    mat = jnp.full((N + 1, N + 1), INF)
-    mat = mat.at[a, b].min(lens, mode="drop")
-    mat = mat.at[b, a].min(lens, mode="drop")
-    return mat[:N, :N]
+    # ONE flat scatter over an [N*N] buffer (both directions concatenated):
+    # the 2-D [N+1,N+1] double-scatter + slice materialized the 268 MB
+    # (N=8192) matrix four times; this writes it once
+    fwd = a * N + b
+    bwd = b * N + a
+    idx = jnp.concatenate([jnp.where(fwd < N * N, fwd, N * N),
+                           jnp.where(bwd < N * N, bwd, N * N)])
+    both = jnp.concatenate([lens, lens])
+    flat = jnp.full((N * N,), INF).at[idx].min(both, mode="drop")
+    return flat.reshape(N, N)
 
 
 def astar(costmat, nodes, node_valid, start, goal, weight, s: Statics):

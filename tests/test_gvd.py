@@ -216,3 +216,46 @@ def test_label_bitmasks_consistent(setup):
             ni = ln[c, li]
             if ni >= 0:
                 assert labels[ni] & (1 << li), (c, li, ni, labels[ni])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_crossing_coarse_fine_matches_dense(seed):
+    """The coarse(dilated)+fine packed crossing filter must reproduce the
+    dense per-sample evaluation exactly — including nmax-capped entries
+    whose sample spacing exceeds res/2 (force-windowed)."""
+    from aosx.gvd.graph import _edge_crossing_dense, edge_crossing_packed
+
+    rng = np.random.default_rng(seed)
+    H, W = S.grid_h, S.grid_w
+    occ = (rng.random((H, W)) < 0.003).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0),
+        origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(H),
+        w_cells=jnp.int32(W),
+    )
+    E = 256
+    ext_x, ext_y = W * S.resolution, H * S.resolution
+    a = rng.random((E, 2)).astype(np.float32) * [ext_x, ext_y]
+    # mix of short (near) and long (nmax-capped, grid-spanning) segments
+    b = a + rng.normal(0, 0.6, (E, 2)).astype(np.float32)
+    b[::4] = rng.random((E // 4 + (E % 4 > 0), 2)).astype(np.float32) * [
+        ext_x * 1.2,
+        ext_y * 1.2,
+    ]
+    nmax = np.where(np.arange(E) % 3 == 0, 16, 64).astype(np.int32)  # %3==0 caps
+    valid = rng.random(E) < 0.9
+
+    @jax.jit
+    def run(grid, a, b, nmax, valid):
+        packed, _ = edge_crossing_packed(grid, a, b, nmax, valid, S, cap=65536)
+        res = jnp.float32(S.resolution)
+        length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
+        num = jnp.minimum((length / (res * 0.5)).astype(jnp.int32) + 1, nmax - 1)
+        dense = _edge_crossing_dense(grid, a, b, valid, num, S, 256)
+        return packed, dense
+
+    packed, dense = run(grid, jnp.asarray(a), jnp.asarray(b),
+                        jnp.asarray(nmax), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(dense))
