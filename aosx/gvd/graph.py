@@ -171,9 +171,12 @@ def extract_vertices(grid: GridWorld, owner, s: Statics):
     ow = [jnp.concatenate([p[3 + k] for p in segs]) for k in range(4)]
 
     N = s.max_nodes
-    from ..ops import compact_take, compact_true
+    from ..ops import compact_take, compact_true_hier
 
-    sel, n_nodes = compact_true(masks, N)
+    # hierarchical first-N-true: vertex corners are sparse, so the
+    # window-level pass shrinks the top_k input ~32x (exact; direct
+    # fallback if > N windows contain a vertex)
+    sel, n_nodes = compact_true_hier(masks, N, kw=N)
     pos = jnp.stack(
         [compact_take(pxs, sel, 0.0), compact_take(pys, sel, 0.0)], axis=1
     )

