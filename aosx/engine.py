@@ -212,6 +212,17 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
     )
     from .plan.mission import current_cluster_index
 
+    # isfinite hygiene on everything this tick publishes (the reference
+    # checks isfinite throughout, e.g. voronoi_diagram.cpp:28-30,67-69;
+    # padding is zero-filled so the full padded arrays are checkable)
+    nonfinite = (
+        jnp.sum((~jnp.isfinite(robot.xy)).astype(jnp.int32))
+        + jnp.sum((~jnp.isfinite(plan_path.xy)).astype(jnp.int32))
+        + jnp.sum((~jnp.isfinite(raw_path.xy)).astype(jnp.int32))
+        + jnp.sum((~jnp.isfinite(ctrl.goal_xy)).astype(jnp.int32))
+    )
+    from .guards import GUARD_NONFINITE
+
     metrics = dict(
         xy=robot.xy,
         yaw=robot.yaw,
@@ -222,7 +233,9 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
         waiting=mission.waiting_for_docking,
         completed=mission.exploration_completed,
         plan_len=plan_path.count,
-        guards=world.guards,
+        nonfinite=nonfinite,
+        guards=world.guards
+        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0),
     )
     return new_state, metrics
 

@@ -166,6 +166,11 @@ def preprocess(
     (d^2 <= r^2 removed), flatten to xy.
     """
     xyz, valid = pc.xyz, pc.valid
+    # isfinite hygiene at the input boundary (PCL marks invalid returns with
+    # NaN points; the reference's pipeline is littered with isfinite checks,
+    # e.g. voronoi_diagram.cpp:28-30). Must happen BEFORE the sorted-sweep
+    # ROR: NaN sort keys would silently break its block-span invariant.
+    valid = valid & jnp.all(jnp.isfinite(xyz), axis=1)
     cnt, ror_span_violated = ror_counts(xyz, valid, params.ror_radius,
                                         method=ror_method)
     keep = valid & (cnt >= params.ror_min_neighbors)

@@ -120,3 +120,43 @@ def test_ror_sorted_matches_exact():
     a, b = np.asarray(a), np.asarray(b)
     assert (a[:3900] == b[:3900]).all()
     assert not bool(span)  # exactness precondition holds on this data
+
+
+def test_nan_points_dropped_like_absent():
+    """PCL marks invalid returns with NaN points; preprocess must produce
+    the same keep-set as if those points were never there (isfinite hygiene
+    at the input boundary, ref voronoi_diagram.cpp:28-30), even on the
+    sorted-sweep ROR path whose sort keys NaNs would poison."""
+    xyz, poly = make_orchard_np(OrchardSpec(n_rows=3, row_len=12.0), seed=5)
+    xyz = xyz.astype(np.float32)
+    params = params_as_f32(AosParams())
+    poly_j = Polygon.from_array(poly.astype(np.float32), S)
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+
+    n = len(xyz)
+    N = S.max_points
+    assert n + 8 <= N
+    clean = np.zeros((N, 3), np.float32)
+    clean[:n] = xyz
+    cvalid = np.zeros(N, bool)
+    cvalid[:n] = True
+
+    poisoned = clean.copy()
+    pvalid = cvalid.copy()
+    bad = np.array([np.nan, np.inf, -np.inf], np.float32)
+    for i in range(8):
+        poisoned[n + i] = np.roll(bad, i)[:3] * (1 if i % 2 else -1)
+    pvalid[n : n + 8] = True
+
+    @jax.jit
+    def run(buf, valid):
+        pc = PointCloud(xyz=jnp.asarray(buf), valid=jnp.asarray(valid))
+        xy, keep, _, _ = jpoints.preprocess(
+            pc, poly_j, params, excl, S, ror_method="sorted"
+        )
+        return keep
+
+    keep_clean = np.asarray(run(clean, cvalid))
+    keep_pois = np.asarray(run(poisoned, pvalid))
+    assert not keep_pois[n : n + 8].any()
+    np.testing.assert_array_equal(keep_clean[:n], keep_pois[:n])
