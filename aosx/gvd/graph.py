@@ -229,16 +229,23 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     (~10-18 ns/element, CLAUDE.md), so cost == number of occupancy lookups.
     Two exact-decision passes:
 
-    1. COARSE: every 4th fine sample, looked up in the occupancy grid
-       dilated by Chebyshev radius 2. Fine samples are <= res/2 apart, so
-       any fine sample lies within 2 fine steps (<= 1 cell) of a coarse
-       sample; the 2-cell dilation therefore catches every possible fine
-       hit (no false negatives). Entries whose per-sample spacing exceeds
-       res/2 (num capped by nmax) break that bound - their coarse slots are
-       force-flagged so the fine pass evaluates them fully.
-    2. FINE: exact sampling of the ORIGINAL grid, but only in +-2-sample
-       windows (8 lanes) around coarse hits - ~10x fewer lookups than the
+    1. COARSE: every C4=8th fine sample, looked up in the occupancy grid
+       dilated by Chebyshev radius 3. Fine samples are <= res/2 apart, so
+       any fine sample lies within C4/2=4 fine steps (<= 2 cells) of a
+       coarse sample; the 3-cell dilation (2 + 1 for cell rounding)
+       therefore catches every possible fine hit (no false negatives).
+       Entries whose per-sample spacing exceeds res/2 (num capped by nmax)
+       break that bound - their coarse slots are force-flagged so the fine
+       pass evaluates them fully.
+    2. FINE: exact sampling of the ORIGINAL grid, but only in +-C4/2-sample
+       windows (16 lanes) around coarse hits - ~10x fewer lookups than the
        all-fine packed layout on real GVD candidate sets.
+
+    EVERY per-slot cost in here (the hold-last scans, the coarse gather,
+    the window compaction top_k, the fine gather) is proportional to the
+    COARSE buffer size cap/C4, independent of how many slots are actually
+    used - measured ~12 ms device at C4=4 even for near-empty candidate
+    sets. C4=8 halves all of it.
 
     Slot layout (both passes): entries laid end-to-end in a [cap'] buffer:
     per-entry offsets by cumsum, per-slot edge parameters by a start-scatter
@@ -252,7 +259,7 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     num_raw = (length / step).astype(jnp.int32) + 1
     num = jnp.minimum(num_raw, nmax - 1)
     capped = num_raw > nmax - 1            # spacing coarser than res/2
-    C4 = 4                                 # coarse factor
+    C4 = 8                                 # coarse factor
     numc = (num + C4 - 1) // C4            # coarse samples = 0..numc
     nsamp = jnp.where(valid, numc + 1, 0)
     off = jnp.cumsum(nsamp) - nsamp        # exclusive prefix
@@ -264,14 +271,14 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     NC = 4096
     NR = (cap // C4 + NC - 1) // NC
     capp = NR * NC
-    F = max(4096, cap // 32)               # fine-window buffer
+    F = max(4096, cap // 64)               # fine-window buffer
 
-    # occupancy dilated by Chebyshev radius 2 (separable 1x5 / 5x1 max)
+    # occupancy dilated by Chebyshev radius 3 (separable 1x7 / 7x1 max)
     occ1 = (grid.occ == 1).astype(jnp.uint8)
     dil = jax.lax.reduce_window(occ1, jnp.uint8(0), jax.lax.max,
-                                (1, 5), (1, 1), "SAME")
+                                (1, 7), (1, 1), "SAME")
     dil = jax.lax.reduce_window(dil, jnp.uint8(0), jax.lax.max,
-                                (5, 1), (1, 1), "SAME")
+                                (7, 1), (1, 1), "SAME")
 
     dx = b[:, 0] - a[:, 0]
     dy = b[:, 1] - a[:, 1]
@@ -326,7 +333,9 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
         wnum = jnp.maximum(wv[:, 4], 1.0)
         wm = wsel.astype(jnp.float32) - wv[:, 5]
         fc = jnp.minimum(wm * C4, wv[:, 4])               # center fine idx
-        fi = fc[:, None] - 2.0 + jnp.arange(8, dtype=jnp.float32)[None, :]
+        # window must cover fine samples within C4/2 of the coarse sample
+        fi = (fc[:, None] - C4 / 2
+              + jnp.arange(2 * C4, dtype=jnp.float32)[None, :])
         fok = (fi >= 0.0) & (fi <= wv[:, 4:5]) & wok[:, None]
         t = jnp.clip(fi, 0.0, wv[:, 4:5]) / wnum[:, None]
         fpx = wv[:, 0:1] + t * wv[:, 2:3]
@@ -335,7 +344,7 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
         fmy = ((fpy - grid.origin_y) / res).astype(jnp.int32)
         ing = (fmx >= 0) & (fmx < grid.w_cells) & (fmy >= 0) & (fmy < grid.h_cells)
         fflat = jnp.clip(fmy, 0, Hs - 1) * Ws + jnp.clip(fmx, 0, Ws - 1)
-        focc = grid.occ.reshape(-1)[fflat.reshape(-1)].reshape(F, 8) == 1
+        focc = grid.occ.reshape(-1)[fflat.reshape(-1)].reshape(F, 2 * C4) == 1
         whit = jnp.any(focc & ing & fok, axis=1)
         we = jnp.where(wok, wv[:, 6].astype(jnp.int32), E)
         out = (jnp.zeros((E + 1,), jnp.int32)
