@@ -82,3 +82,30 @@ def test_spatial_sharded_inflation():
         ref = jax.jit(lambda g: inflate(g, S))(grid)
         got = jax.jit(lambda g: inflate_sharded(g, S, mesh))(grid)
     assert np.array_equal(np.asarray(ref.occ), np.asarray(got.occ))
+
+
+def test_spatial_sharded_skeletonize():
+    """Row-sharded morph open + Zhang-Suen (1-row halo exchange per stencil,
+    psum'd fixpoint flag) == single-device skeletonize, bit-exact, including
+    a live region smaller than the padded grid."""
+    from jax.sharding import Mesh
+    from aosx.parallel.spatial import skeletonize_sharded
+    from aosx.perceive.skeleton import skeletonize
+    from aosx.types import GridWorld
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(cpus[:4]), ("space",))
+    rng = np.random.default_rng(13)
+    # blobby occupancy so thinning actually iterates
+    occ = (rng.random((S.grid_h, S.grid_w)) < 0.18).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0), origin_y=jnp.float32(0),
+        h_cells=jnp.int32(S.grid_h - 5), w_cells=jnp.int32(S.grid_w - 9),
+    )
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(lambda g: skeletonize(g, S))(grid)
+        got = jax.jit(lambda g: skeletonize_sharded(g, S, mesh))(grid)
+    assert np.array_equal(np.asarray(ref.occ), np.asarray(got.occ))
