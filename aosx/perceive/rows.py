@@ -138,7 +138,7 @@ def run_level_labels(cell_flat, cell_ok, h: int, w: int, s: Statics):
     outnumber cells ~10:1 less (bench instance: 36,325 cells -> 3,753 runs
     with 4,404 run-adjacency pairs - benchmarks/probe_runs.py), so every
     union-find round's gather/scatter footprint shrinks from [M,6]+[M]
-    to [P]+[R] with R = P = max_skel_cells // 4. Semantics are identical
+    to [P]+[R] with R = P = max_skel_cells // 8. Semantics are identical
     to the cell-level path (root = min compact cell index == the
     reference's BFS discovery order, aos_seed_gen_node.cpp:970-1083):
     a component's minimum cell always starts a run (its W neighbor cannot
@@ -150,7 +150,10 @@ def run_level_labels(cell_flat, cell_ok, h: int, w: int, s: Statics):
     cell-level path (we return overflow=True and the fast-path labels are
     garbage - the caller wraps both in lax.cond)."""
     M = cell_flat.shape[0]
-    R = max(256, s.max_skel_cells // 4)   # static run / pair buffer sizes
+    # every union-find round costs 2 gathers + 2 scatter-mins on [P] and 4
+    # compression gathers on [R]; bench uses 3,753 runs / 4,404 pairs of
+    # M//8 = 8192, and overflow falls back to the exact cell-level path
+    R = max(256, s.max_skel_cells // 8)   # static run / pair buffer sizes
     P = R
 
     # run decomposition (compaction preserves raster order, so a run's
@@ -245,8 +248,12 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     from ..ops import compact_true_hier
 
     mask0 = (skel.occ == 1) & live_mask(skel)
+    # kw = M//8 windows of 32 cells: the expansion top_k input (kw*32) is
+    # the dominant hier cost; skeleton masks occupy ~2k of 131k windows on
+    # the bench instance, so 8k windows keep 4x margin before the (exact,
+    # slower) direct-top_k fallback triggers
     cell_flat, _ = compact_true_hier(
-        mask0.reshape(-1), M, kw=max(4096, M // 4)
+        mask0.reshape(-1), M, kw=max(4096, M // 8)
     )
     in_buf = cell_flat >= 0
     safe0 = jnp.maximum(cell_flat, 0)
@@ -262,7 +269,7 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
         .at[inv_tgt]
         .set(jnp.arange(M, dtype=jnp.int32), mode="drop")
     )
-    # fast path: run-level union-find (R = P = max_skel_cells // 4 buffers);
+    # fast path: run-level union-find (R = P = max_skel_cells // 8 buffers);
     # exact cell-level fallback when runs/pairs overflow those buffers
     L_fast, uf_overflow = run_level_labels(cell_flat, cell_ok, h, w, s)
 

@@ -1,7 +1,8 @@
 """Per-substage wall times on the real v5e (BENCH_STATICS instance).
 
 Each substage is its own jit; timing fetches one scalar probe, so every
-number carries ~28 ms tunnel overhead — subtract it for device time.
+number carries the tunnel floor (calibrated with a trivial jit at start;
+~28-35 ms and drifts with shared-chip load) — subtracted for device time.
 Run: python benchmarks/profile_stages.py
 """
 import os, sys, time
@@ -48,11 +49,15 @@ def med_ms(f, *args, reps=5):
 STAGES = []
 
 
+FLOOR = med_ms(jax.jit(lambda x: (x, x.sum() * 2.0)), jnp.ones((8, 128)))[1]
+print(f"tunnel floor: {FLOOR:.2f} ms", flush=True)
+
+
 def stage(name, fn, *args):
     jf = jax.jit(lambda *a: (lambda r: (r, probe(r)))(fn(*a)))
     (out, _), ms = med_ms(jf, *args)
     STAGES.append((name, ms))
-    print(f"{name:22s} {ms:8.2f} ms (device ~{max(ms - 28, 0):.0f})", flush=True)
+    print(f"{name:22s} {ms:8.2f} ms (device ~{max(ms - FLOOR, 0):.0f})", flush=True)
     return out
 
 
@@ -82,5 +87,5 @@ cm = stage("cost_matrix", lambda g: cost_matrix(g, S), g_full)
 wp = stage("build_waypoints", lambda g, pr: build_waypoints(g, pr, S), g_full, params)
 
 total = sum(ms for _, ms in STAGES)
-print(f"\nsum of staged: {total:.1f} ms ({len(STAGES)} stages x ~28 ms overhead "
-      f"-> device ~{total - 28 * len(STAGES):.0f} ms); wall {time.time()-t0:.0f}s")
+print(f"\nsum of staged: {total:.1f} ms ({len(STAGES)} stages x {FLOOR:.1f} ms floor "
+      f"-> device ~{total - FLOOR * len(STAGES):.0f} ms); wall {time.time()-t0:.0f}s")
