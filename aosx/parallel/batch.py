@@ -85,3 +85,70 @@ def sharded_rollouts(keys, spec, params, s, n_steps, mesh: Mesh,
         check_vma=False,  # scan carries inside the rollout start unvarying
     )
     return jax.jit(f)(keys)
+
+
+# ---------------------------------------------------------------------------
+# chunked rollouts: the axon tunnel kills device calls running longer than
+# ~60 s, which caps a single-call batched episode at batch ~64. Splitting the
+# episode into step chunks (state carried across jit calls, summary
+# accumulated IN-jit so nothing is stacked) keeps every call short and lets
+# the batch fill HBM instead.
+# ---------------------------------------------------------------------------
+
+
+def _acc_init(s: Statics, n_steps_total: int):
+    return dict(
+        first_done=jnp.int32(n_steps_total),
+        travel=jnp.float32(0.0),
+        last_xy=jnp.zeros((2,), jnp.float32),
+        has_prev=jnp.bool_(False),
+        last_status=jnp.int32(0),
+    )
+
+
+def rollout_begin(key, spec: OrchardSpec, params: AosParams, s: Statics,
+                  n_steps_total: int, ror_method: str = "sorted"):
+    """Build the world + initial state + summary accumulator for one orchard."""
+    pc, poly = make_orchard(key, spec, s)
+    excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
+    world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
+    return world, engine.initial_state(world, s), _acc_init(s, n_steps_total)
+
+
+def rollout_chunk(world, st, acc, params, s: Statics, n: int, offset):
+    """Advance one rollout by n control ticks, folding the summary stats
+    (first completion step, sequential travel distance, last status) into
+    the accumulator instead of stacking per-step metrics."""
+
+    def body(carry, i):
+        st, acc = carry
+        st, m = engine.step(st, world, params, s)
+        xy = m["xy"]
+        seg = jnp.sqrt(jnp.sum((xy - acc["last_xy"]) ** 2))
+        acc = dict(
+            first_done=jnp.minimum(
+                acc["first_done"],
+                jnp.where(m["completed"], offset + i, acc["first_done"]),
+            ),
+            travel=acc["travel"] + jnp.where(acc["has_prev"], seg, 0.0),
+            last_xy=xy,
+            has_prev=jnp.bool_(True),
+            last_status=m["status"],
+        )
+        return (st, acc), None
+
+    (st, acc), _ = jax.lax.scan(body, (st, acc), jnp.arange(n, dtype=jnp.int32))
+    return st, acc
+
+
+def rollout_finish(st, acc):
+    """Same fields as rollout_summary (travel accumulated sequentially, so it
+    can differ from the stacked-diff sum by float rounding ~1e-4)."""
+    return dict(
+        completed=st.mission.exploration_completed,
+        steps_to_complete=acc["first_done"],
+        final_status=acc["last_status"],
+        travel_distance=acc["travel"],
+        final_dist_to_origin=jnp.sqrt(jnp.sum(st.robot.xy**2)),
+        waypoints=st.wp.count,
+    )

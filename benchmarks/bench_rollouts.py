@@ -13,8 +13,10 @@ ticks per rollout (enough for full tours; the `completed` count in the
 output verifies rollouts actually finish). Batch default 512/chip = 4096 in
 flight on a v5e-8, addressing BASELINE's ">= 4096 sustained".
 
-Run: python benchmarks/bench_rollouts.py [batch] [steps] [scale]
+Run: python benchmarks/bench_rollouts.py [batch] [steps] [scale] [chunk]
   scale: 'mc' (default, realistic) | 'dryrun' (tiny smoke config)
+  chunk: control ticks per device call (default 150; keep each call under
+  the tunnel's ~60 s execution kill limit)
 Writes the JSON line to stdout AND benchmarks/ROLLOUTS.json.
 """
 
@@ -38,7 +40,9 @@ def main():
 
     from aosx.config import DRYRUN_STATICS, TEST_STATICS, AosParams, params_as_f32
     from aosx.orchards import OrchardSpec
-    from aosx.parallel.batch import batched_rollouts
+    from aosx.parallel.batch import (
+        rollout_begin, rollout_chunk, rollout_finish,
+    )
 
     scale = sys.argv[3] if len(sys.argv) > 3 else "mc"
     if scale == "dryrun":
@@ -65,12 +69,31 @@ def main():
     if len(sys.argv) > 2:
         steps = int(sys.argv[2])
 
+    chunk_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 150
     params = params_as_f32(AosParams())
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
 
-    @jax.jit
+    # The tunnel kills device calls running longer than ~60 s, which caps a
+    # single-call episode at batch ~64; chunked rollouts (state carried
+    # across jit calls, summary accumulated in-jit) keep each call short so
+    # the batch can fill HBM instead.
+    begin = jax.jit(jax.vmap(
+        lambda k: rollout_begin(k, spec, params, S, steps, ror_method="sorted")
+    ))
+    chunk = jax.jit(jax.vmap(
+        lambda w, st, acc, off: rollout_chunk(w, st, acc, params, S,
+                                              chunk_steps, off),
+        in_axes=(0, 0, 0, None),
+    ))
+    finish = jax.jit(jax.vmap(rollout_finish))
+
     def run(keys):
-        out = batched_rollouts(keys, spec, params, S, steps, ror_method="sorted")
+        world, st, acc = begin(keys)
+        off = 0
+        while off < steps:
+            st, acc = chunk(world, st, acc, jnp.int32(off))
+            off += chunk_steps
+        out = finish(st, acc)
         return out, jnp.sum(out["travel_distance"])
 
     t0 = time.time()
@@ -97,6 +120,7 @@ def main():
         "rollouts_per_sec_per_chip": round(rps, 2),
         "projected_v5e8_rollouts_per_sec": round(8 * rps, 2),
         "compile_s": round(compile_s, 1),
+        "chunk_steps": chunk_steps,
     }
     print(json.dumps(result))
     with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),

@@ -109,3 +109,36 @@ def test_spatial_sharded_skeletonize():
         ref = jax.jit(lambda g: skeletonize(g, S))(grid)
         got = jax.jit(lambda g: skeletonize_sharded(g, S, mesh))(grid)
     assert np.array_equal(np.asarray(ref.occ), np.asarray(got.occ))
+
+
+def test_chunked_rollout_matches_monolithic():
+    """begin + k chunks + finish == rollout_one (exact integer fields; travel
+    within float-reassociation tolerance)."""
+    from aosx.parallel.batch import (
+        rollout_begin, rollout_chunk, rollout_finish, rollout_one,
+    )
+    from aosx.config import DRYRUN_STATICS as DS
+
+    spec = SPEC
+    params = params_as_f32(AosParams())
+    key = jax.random.PRNGKey(3)
+    n_steps = 60
+
+    ref = jax.jit(
+        lambda k: rollout_one(k, spec, params, DS, n_steps, ror_method="exact")
+    )(key)
+
+    world, st, acc = jax.jit(
+        lambda k: rollout_begin(k, spec, params, DS, n_steps, ror_method="exact")
+    )(key)
+    chunk = jax.jit(
+        lambda w, st, acc, off: rollout_chunk(w, st, acc, params, DS, 20, off)
+    )
+    for c in range(3):
+        st, acc = chunk(world, st, acc, jnp.int32(20 * c))
+    got = rollout_finish(st, acc)
+
+    for k2 in ("completed", "steps_to_complete", "final_status", "waypoints"):
+        assert int(np.asarray(got[k2])) == int(np.asarray(ref[k2])), k2
+    for k2 in ("travel_distance", "final_dist_to_origin"):
+        assert abs(float(got[k2]) - float(ref[k2])) < 1e-3, k2
