@@ -91,10 +91,6 @@ class Statics:
     # JFA shift lowering: static unroll is ~4x faster on TPU but slow to
     # compile on CPU; dynamic (fori + roll) is the reverse. Same results.
     jfa_dynamic_shifts: bool = False
-    # DEPRECATED (ignored): the fused small-step tail kernel implemented the
-    # old Gauss-Seidel pass chaining and measured at parity with XLA anyway
-    # (see gvd/jfa_pallas.py); superseded by jfa_pass_pallas below.
-    jfa_pallas_small: bool = False
     # Run each JFA pass with step <= 128 as a banded halo-DMA Pallas kernel
     # (one read+write of the carried planes per pass instead of XLA's
     # materialized shifts; TPU only - see gvd/jfa_pass_pallas.py).

@@ -70,6 +70,8 @@ def main():
         steps = int(sys.argv[2])
 
     chunk_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 150
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    outfile = sys.argv[6] if len(sys.argv) > 6 else "ROLLOUTS.json"
     params = params_as_f32(AosParams())
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
 
@@ -77,6 +79,13 @@ def main():
     # single-call episode at batch ~64; chunked rollouts (state carried
     # across jit calls, summary accumulated in-jit) keep each call short so
     # the batch can fill HBM instead.
+    # begin (procedural gen + perceive + GVD per rollout) is the
+    # memory-peak phase: the vmapped JFA carries 3 f32 planes per rollout
+    # plus shifted temporaries, and batch 512 crashes the worker. Sub-batch
+    # it (<= 128 per call) and concatenate the worlds on device; the step
+    # chunks only carry the small engine state and run at full batch.
+    sub = min(batch, 128)
+    assert batch % sub == 0, (batch, sub)
     begin = jax.jit(jax.vmap(
         lambda k: rollout_begin(k, spec, params, S, steps, ror_method="sorted")
     ))
@@ -88,7 +97,10 @@ def main():
     finish = jax.jit(jax.vmap(rollout_finish))
 
     def run(keys):
-        world, st, acc = begin(keys)
+        parts = [begin(keys[i : i + sub]) for i in range(0, batch, sub)]
+        world, st, acc = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
         off = 0
         while off < steps:
             st, acc = chunk(world, st, acc, jnp.int32(off))
@@ -101,7 +113,7 @@ def main():
     float(pv)
     compile_s = time.time() - t0
     times = []
-    for _ in range(3):
+    for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
         out, pv = run(keys)
         float(pv)
@@ -124,7 +136,7 @@ def main():
     }
     print(json.dumps(result))
     with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                            "ROLLOUTS.json"), "w") as f:
+                            outfile), "w") as f:
         json.dump(result, f, indent=1)
 
 

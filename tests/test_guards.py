@@ -1,0 +1,106 @@
+"""Guard triggers for the documented bounded approximations (PARITY.md §3):
+each cap must be DETECTED (guard bit set) and, where a fallback exists, the
+decisions must match the exact path (VERDICT r1 #7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aosx.config import DRYRUN_STATICS as S, AosParams, params_as_f32
+from aosx.guards import (
+    GUARD_CROSS_DENSE,
+    GUARD_EDGE_COARSE,
+    GUARD_PROX_PPN,
+)
+from aosx.gvd.graph import _edge_crossing_dense, edge_crossing_packed
+from aosx.types import GridWorld
+
+
+def _grid(seed=5, density=0.02):
+    rng = np.random.default_rng(seed)
+    occ = (rng.random((S.grid_h, S.grid_w)) < density).astype(np.uint8)
+    return GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0), origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(S.grid_h), w_cells=jnp.int32(S.grid_w),
+    )
+
+
+def _entries(n=1024, seed=2):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, [S.grid_w * S.resolution, S.grid_h * S.resolution],
+                    (n, 2)).astype(np.float32)
+    # keep lengths under (nmax-1)*res/2 so no entry is nmax-capped
+    b = a + rng.uniform(-1.0, 1.0, (n, 2)).astype(np.float32)
+    valid = rng.random(n) < 0.9
+    return jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid)
+
+
+def test_crossing_packed_matches_dense_and_flags_overflow():
+    """Tiny cap -> packed layout overflows -> dense fallback taken, flagged,
+    and decisions still exact."""
+    grid = _grid(density=0.003)
+    a, b, valid = _entries()
+    nmax = jnp.full((a.shape[0],), 64, jnp.int32)
+
+    run = jax.jit(lambda cap: edge_crossing_packed(grid, a, b, nmax, valid, S,
+                                                   cap=cap), static_argnums=0)
+    # the coarse buffer rounds up to rows of 4096 slots; ~920 valid entries
+    # at ~9 coarse slots each (~8k) overflow cap=64's single row for sure
+    crossing_small, guards_small = run(64)
+    # big enough for ~8k coarse slots + sparse windows -> fast path
+    crossing_big, guards_big = run(256 * S.max_edges)
+
+    res = float(S.resolution)
+    step = res * 0.5
+    length = jnp.sqrt(jnp.sum((b - a) ** 2, axis=1))
+    num = jnp.minimum((length / step).astype(jnp.int32) + 1, nmax - 1)
+    dense = _edge_crossing_dense(grid, a, b, valid, num, S, 256)
+    dense = np.asarray(dense & valid & (length >= 1e-6))
+
+    assert int(guards_small) & GUARD_CROSS_DENSE
+    assert not (int(guards_big) & GUARD_CROSS_DENSE)
+    assert (np.asarray(crossing_small) == dense).all()
+    assert (np.asarray(crossing_big) == dense).all()
+
+
+def test_crossing_coarse_sampling_flagged():
+    """An edge whose fine sampling is capped by nmax (spacing coarser than
+    res/2, deviating from the reference) must set GUARD_EDGE_COARSE."""
+    grid = _grid(density=0.0)
+    a = jnp.asarray([[1.0, 1.0]], jnp.float32)
+    b = jnp.asarray([[9.0, 9.0]], jnp.float32)     # ~11 m; num_raw >> 16
+    nmax = jnp.asarray([16], jnp.int32)
+    valid = jnp.asarray([True])
+    _, guards = jax.jit(
+        lambda: edge_crossing_packed(grid, a, b, nmax, valid, S,
+                                     cap=32 * S.max_edges)
+    )()
+    assert int(guards) & GUARD_EDGE_COARSE
+
+
+def test_prox_partner_cap_flagged():
+    """More than PPN=8 nodes within the proximity distance of one node must
+    set GUARD_PROX_PPN (partners silently capped; ADVICE r1)."""
+    from aosx.gvd.graph import build_edges
+    from aosx.types import SeedSet
+
+    N = S.max_nodes
+    params = params_as_f32(AosParams())
+    # 12 nodes in a 0.2 m blob: every node has 11 partners within 0.5 m
+    pos = np.ones((N, 2), np.float32) * 50.0
+    pos[:12] = 5.0 + np.random.default_rng(0).uniform(0, 0.2, (12, 2))
+    node_valid = np.zeros((N,), bool)
+    node_valid[:12] = True
+    owners = np.full((N, 4), -1, np.int32)
+    grid = _grid(density=0.0)
+    seeds = SeedSet(
+        xy=jnp.zeros((S.max_seeds, 2), jnp.float32),
+        valid=jnp.zeros((S.max_seeds,), bool),
+        kind=jnp.zeros((S.max_seeds,), jnp.int32),
+    )
+    *_, guards = jax.jit(
+        lambda p, v: build_edges(p, jnp.asarray(owners), v, grid, seeds,
+                                 params, S)
+    )(jnp.asarray(pos), jnp.asarray(node_valid))
+    assert int(guards) & GUARD_PROX_PPN
