@@ -220,7 +220,7 @@ def _edge_crossing_dense(grid: GridWorld, a, b, valid, num, s: Statics,
 
 
 def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
-                         cap: int):
+                         cap: int, return_diag: bool = False):
     """edgePassesThroughOccupiedPixels (cpp:320-359) for a batch of entries
     with per-entry sample caps: num = min(len/step + 1, nmax-1), samples
     k = 0..num at t = k/num (so the final sample lands on the endpoint).
@@ -362,11 +362,15 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     guards = jnp.where(jnp.any(valid & (num_raw > nmax - 1)),
                        jnp.int32(GUARD_EDGE_COARSE), 0)
     guards |= jnp.where(~ok_fast, jnp.int32(GUARD_CROSS_DENSE), 0)
-    return crossing & valid & (length >= 1e-6), guards
+    out = crossing & valid & (length >= 1e-6)
+    if return_diag:  # buffer-sizing diagnostics (benchmarks/probe_build_edges)
+        return out, guards, dict(total=total, capp=jnp.int32(capp),
+                                 nwin_true=nwin_true, F=jnp.int32(F))
+    return out, guards
 
 
 def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
-                params: AosParams, s: Statics):
+                params: AosParams, s: Statics, return_diag: bool = False):
     """Ridge edges + proximity edges, occupied-crossing filtered."""
     N, E = s.max_nodes, s.max_edges
     S = seeds.xy.shape[0]
@@ -481,9 +485,10 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     # cap sized for fields dense in LONG ridge candidates: the bench orchard
     # has ~3.6k 9 m corridor-spanning candidates at ~182 samples each
     # (~750k slots) on top of ~50k short-edge slots
-    crossing_all, cross_guards = edge_crossing_packed(
+    cross_out = edge_crossing_packed(
         grid, all_a_pts, all_b_pts, nmax_all, valid_all, s,
-        cap=32 * s.max_edges)
+        cap=32 * s.max_edges, return_diag=return_diag)
+    crossing_all, cross_guards = cross_out[0], cross_out[1]
     rvalid = rvalid & ~crossing_all[:E]
     pcross = crossing_all[E:]
 
@@ -518,6 +523,8 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
         0.0,
     )
     guards = cross_guards | jnp.where(ppn_overflow, jnp.int32(GUARD_PROX_PPN), 0)
+    if return_diag:
+        return fa, fb, ev, lengths, n_edges, guards, cross_out[2]
     return fa, fb, ev, lengths, n_edges, guards
 
 

@@ -118,3 +118,10 @@ stage("crossing_packed(N)", crossing_only, pos)
 stage("build_edges (whole)",
       lambda p, o, v, se, pr: gg.build_edges(p, o, v, skel, se, pr, S),
       pos, owners, node_valid, merged, params)
+
+# real-candidate buffer usage (sizes the cap/F statics honestly)
+diag = jax.jit(lambda p, o, v, se, pr: gg.build_edges(
+    p, o, v, skel, se, pr, S, return_diag=True)[6])(
+    pos, owners, node_valid, merged, params)
+print("diag: total coarse slots =", int(diag["total"]), "/ capp", int(diag["capp"]),
+      "; fine windows =", int(diag["nwin_true"]), "/ F", int(diag["F"]))
