@@ -1,7 +1,11 @@
 """Measure GVD decision-parity scores (node coverage + edge correspondence)
 across several orchard shapes/seeds, to pin evidence-based thresholds in
-tests/test_gvd.py (VERDICT r1 #6)."""
+tests/test_gvd.py (VERDICT r1 #6). Writes benchmarks/GVD_PARITY.json."""
+import json
+import os
 import sys
+
+RESULTS = []
 
 import numpy as np
 import jax
@@ -75,3 +79,22 @@ for spec, seed in CONFIGS:
           f"matched_pairs={tot} direct={direct} via1={via1} miss={miss} "
           f"(corr={100*(direct+via1)/max(tot,1):.1f}%) guards={int(g.guards)}",
           flush=True)
+    RESULTS.append(dict(
+        rows=spec.n_rows, row_len=spec.row_len, seed=seed,
+        ref_nodes=len(ref.nodes), jit_nodes=n,
+        node_miss=misses, node_miss_pct=round(100 * misses / len(ref.nodes), 2),
+        ref_edges=len(ref.edges), edge_direct=direct, edge_via1=via1,
+        edge_miss=miss,
+        edge_corr_pct=round(100 * (direct + via1) / max(tot, 1), 2),
+        guards=int(g.guards),
+    ))
+
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "GVD_PARITY.json"), "w") as f:
+    json.dump(dict(
+        note="node coverage within 3 cells of the Subdiv2D-oracle nodes; "
+             "oracle edges matched directly or via one intermediate jitted "
+             "node on the tolerantly matched node pairs",
+        configs=RESULTS,
+    ), f, indent=1)
+print("wrote GVD_PARITY.json")
