@@ -117,6 +117,55 @@ def _find_breakpoints(xy, count, max_segments, params, P):
     return bp_mask
 
 
+def _backtrack_keep(oxy, oseg, ocount, NSEG: int):
+    """Keep-mask of the sequential backtracking removal, computed per
+    SEGMENT (see the call-site comment for the equivalence argument).
+    Carry: (prev2, prev1) = last two kept points, nkept."""
+    Q = oxy.shape[0]
+    idxq = jnp.arange(Q)
+    live = idxq < ocount
+
+    def body(carry, j):
+        prev2, prev1, nkept = carry
+        in_seg = (oseg == j) & live
+
+        # first in-segment point passing the check against the ENTRY prevs
+        d1 = prev1 - prev2
+        vals0 = jnp.sum((oxy - prev1[None, :]) * d1[None, :], axis=1)
+        c1 = in_seg & ((nkept <= 1) | (vals0 >= -0.01))
+        any1 = jnp.any(c1)
+        k1 = jnp.argmax(c1)
+        p_k1 = oxy[k1]
+
+        # prevs after keeping k1; first later point passing the re-check
+        prev2_a = jnp.where(nkept >= 1, prev1, prev2)
+        d1a = p_k1 - prev2_a
+        vals1 = jnp.sum((oxy - p_k1[None, :]) * d1a[None, :], axis=1)
+        c2 = in_seg & (idxq > k1) & ((nkept + 1 <= 1) | (vals1 >= -0.01))
+        any2 = jnp.any(c2)
+        k2 = jnp.argmax(c2)
+
+        keep_seg = in_seg & any1 & ((idxq == k1) | (any2 & (idxq >= k2)))
+        cnt = jnp.sum(keep_seg.astype(jnp.int32))
+
+        last = jnp.max(jnp.where(keep_seg, idxq, -1))
+        second = jnp.max(jnp.where(keep_seg & (idxq < last), idxq, -1))
+        p_last = oxy[jnp.maximum(last, 0)]
+        p_second = oxy[jnp.maximum(second, 0)]
+        new_prev1 = jnp.where(cnt >= 1, p_last, prev1)
+        new_prev2 = jnp.where(
+            cnt >= 2, p_second, jnp.where((cnt == 1) & (nkept >= 1), prev1, prev2)
+        )
+        return (new_prev2, new_prev1, nkept + cnt), keep_seg
+
+    (_, _, _), keeps = jax.lax.scan(
+        body,
+        (jnp.zeros(2), jnp.zeros(2), jnp.int32(0)),
+        jnp.arange(NSEG, dtype=jnp.int32),
+    )
+    return jnp.any(keeps, axis=0)
+
+
 def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     """convertToLinearSegments (cpp:248-370) + 1 Hz republish semantics are
     the caller's concern. Input path of n points:
@@ -167,73 +216,81 @@ def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     degen = dist < 1e-6
     num_mid = jnp.floor(dist / spacing).astype(jnp.int32)
 
-    k = jnp.arange(SEG_CAP, dtype=jnp.float32)[None, :]            # [1,T]
-    t = k * spacing / jnp.maximum(dist[:, None], 1e-9)
-    # slot 0 = start point (only for the first segment), slots 1..num = mids,
-    # slot num+1 = end point
-    is_start = (k == 0)
-    is_mid = (k >= 1) & (k <= num_mid[:, None].astype(jnp.float32)) & (t < 1.0)
-    # end slot index = (number of emitted mids) + 1
-    n_mid = jnp.sum(is_mid, axis=1).astype(jnp.int32)               # [NSEG]
-    is_end = jnp.arange(SEG_CAP)[None, :] == (n_mid[:, None] + 1)
-    px = jnp.where(is_end, p2[:, 0:1], p1[:, 0:1] + t * d[:, 0:1])
-    py = jnp.where(is_end, p2[:, 1:2], p1[:, 1:2] + t * d[:, 1:2])
-    emit_start = is_start & (seg_i == 0)[:, None]
-    emit = (emit_start | is_mid | is_end) & seg_ok[:, None] & ~degen[:, None]
+    # Emitted slots per segment are CONTIGUOUS local indices k (slot 0 =
+    # start point, first segment only; 1..n_mid = interior samples with
+    # t = k*spacing/dist < 1; n_mid+1 = exact end point while it fits the
+    # SEG_CAP window). The previous lowering materialized a [NSEG, SEG_CAP]
+    # sample grid and compacted it with 16k-update scatters - under vmap
+    # that was most of the batched engine.step cost (~15 of 17 ms at batch
+    # 64; benchmarks/probe_rollout_step.py). Closed-form counts + an
+    # output-slot -> segment one-hot (offset comparisons) produce the SAME
+    # points in the SAME order with zero gathers/scatters. The one-hot
+    # reads use masked broadcast-sums, not a matmul: TPU f32 matmuls may
+    # decompose to bf16 passes and break bit-exactness.
+    #
+    # n_mid closed form: is_mid(k) is monotone in k (k*spacing and the
+    # divide round monotonically), and only k = num_mid can violate t < 1
+    # (t(num_mid-1) <= 1 - spacing/dist, and spacing/dist >= 1/SEG_CAP >>
+    # f32 eps), so the prefix length is cand minus at most one.
+    cand = jnp.minimum(num_mid, SEG_CAP - 1)
+    t_cand = cand.astype(jnp.float32) * spacing / jnp.maximum(dist, 1e-9)
+    n_mid = jnp.maximum(cand - (t_cand >= 1.0).astype(jnp.int32), 0)
+    has_end = (n_mid + 1) <= SEG_CAP - 1
+    k0 = jnp.where(seg_i == 0, 0, 1)
+    cnt = jnp.where(
+        seg_ok & ~degen,
+        n_mid + (seg_i == 0).astype(jnp.int32) + has_end.astype(jnp.int32),
+        0,
+    )
     # degenerate segment: single point p1 when not skipping start (cpp:200-206)
-    emit_degen = is_start & (seg_i == 0)[:, None] & degen[:, None] & seg_ok[:, None]
-    px = jnp.where(emit_degen, p1[:, 0:1], px)
-    py = jnp.where(emit_degen, p1[:, 1:2], py)
-    emit = emit | emit_degen
+    cnt = jnp.where(seg_ok & degen, jnp.where(seg_i == 0, 1, 0), cnt)
+    off = jnp.cumsum(cnt) - cnt
+    total = jnp.sum(cnt)
 
-    flat_xy = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=1)
-    flat_yaw = jnp.broadcast_to(yaw[:, None], (NSEG, SEG_CAP)).reshape(-1)
-    flat_ok = emit.reshape(-1)
-    rank2 = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
-    tgt2 = jnp.where(flat_ok & (rank2 < Q), rank2, Q)
-    oxy = jnp.zeros((Q + 1, 2), jnp.float32).at[tgt2].set(flat_xy, mode="drop")[:Q]
-    oyaw = jnp.zeros((Q + 1,), jnp.float32).at[tgt2].set(flat_yaw, mode="drop")[:Q]
-    ocount = jnp.minimum(jnp.sum(flat_ok.astype(jnp.int32)), Q)
+    qidx = jnp.arange(Q)
+    onehot = (qidx[:, None] >= off[None, :]) & (
+        qidx[:, None] < (off + cnt)[None, :]
+    )                                                              # [Q,NSEG]
+    valid_q = jnp.any(onehot, axis=1)
+
+    def pick(v):
+        """[NSEG] -> [Q]; exactly one (or zero) nonzero term per slot."""
+        return jnp.sum(jnp.where(onehot, v[None, :], jnp.zeros_like(v)[None, :]), axis=1)
+
+    kq_i = qidx - pick(off) + pick(k0)
+    t_q = kq_i.astype(jnp.float32) * spacing / jnp.maximum(pick(dist), 1e-9)
+    is_end_q = valid_q & (kq_i == pick(n_mid) + 1)
+    px_q = jnp.where(is_end_q, pick(p2[:, 0]), pick(p1[:, 0]) + t_q * pick(d[:, 0]))
+    py_q = jnp.where(is_end_q, pick(p2[:, 1]), pick(p1[:, 1]) + t_q * pick(d[:, 1]))
+    oxy = jnp.where(valid_q[:, None], jnp.stack([px_q, py_q], axis=1), 0.0)
+    oyaw = jnp.where(valid_q, pick(yaw), 0.0)
+    oseg = jnp.where(valid_q, pick(seg_i).astype(jnp.int32), NSEG)
+    ocount = jnp.minimum(total, Q)
 
     # exact endpoints (cpp:329-333)
     oxy = jnp.where(ocount > 0, oxy.at[0].set(start_pt), oxy)
     oxy = jnp.where(ocount > 0, oxy.at[jnp.maximum(ocount - 1, 0)].set(end_pt), oxy)
 
-    # ---- backtracking removal (cpp:336-369): sequential scan. Fast path:
-    # interpolated points within a segment are collinear, so reversals can
-    # only exist at segment joints; when the vectorized triple check finds
-    # none, the whole path is kept and the sequential scan is skipped.
-    prev_pt = jnp.roll(oxy, 1, axis=0)
-    next_pt = jnp.roll(oxy, -1, axis=0)
-    idxq = jnp.arange(Q)
-    triple_ok = (idxq >= 1) & (idxq < ocount - 1)
-    rev = triple_ok & (
-        jnp.sum((oxy - prev_pt) * (next_pt - oxy), axis=1) < -0.01
-    )
-    any_reversal = jnp.any(rev)
-
-    def seq_scan(oxy):
-        def body(i, st):
-            keep, prev2, prev1, nkept = st
-            c = oxy[i]
-            d1 = prev1 - prev2
-            d2 = c - prev1
-            back = (nkept > 1) & (jnp.sum(d1 * d2) < -0.01)
-            k = (i < ocount) & ~back
-            keep = keep.at[i].set(k)
-            prev2 = jnp.where(k & (nkept >= 1), prev1, prev2)
-            prev1 = jnp.where(k, c, prev1)
-            nkept = nkept + k.astype(jnp.int32)
-            return keep, prev2, prev1, nkept
-
-        keep, _, _, _ = jax.lax.fori_loop(
-            0, Q, body, (jnp.zeros((Q,), bool), jnp.zeros(2), jnp.zeros(2), jnp.int32(0))
-        )
-        return keep
-
-    keep = jax.lax.cond(
-        any_reversal, seq_scan, lambda o: jnp.arange(Q) < ocount, oxy
-    )
+    # ---- backtracking removal (cpp:336-369). The reference's sequential
+    # point scan (keep c iff nkept<=1 or dot(prev1-prev2, c-prev1) >= -0.01,
+    # prevs advance over KEPT points) is O(Q) sequential — and under vmap a
+    # lax.cond fast path executes BOTH branches, so batched rollouts paid
+    # the full Q-iteration fori_loop every tick (~15 of the 17 ms batched
+    # step; benchmarks/probe_rollout_step.py). Segment structure collapses
+    # it to an NSEG-iteration scan with identical decisions:
+    #   - within one segment the emitted points are collinear and ordered
+    #     along +u, so while prevs are FROZEN (during a run of drops) the
+    #     dot is linear in the arc position -> the kept set inside a
+    #     segment is {first point passing the entry check k1} plus the
+    #     suffix from the first post-k1 point passing the re-check k2;
+    #   - after TWO consecutive in-segment keeps, d1 and d2 are both
+    #     forward along u, so dot = |d1||d2| >= 0 > -0.01 with margin
+    #     >> f32 interpolation noise — the remaining points auto-keep.
+    # k1/k2 are evaluated on the STORED floats (bit-identical decisions);
+    # only the auto-keep tail uses the sign argument, where the 0.01
+    # threshold dwarfs any float error. Parity: test_plan.py +
+    # test_linearize_backtracking_equivalence.
+    keep = _backtrack_keep(oxy, oseg, ocount, NSEG)
     skip_removal = ocount <= 2
     keep = jnp.where(skip_removal, jnp.arange(Q) < ocount, keep)
     rank3 = jnp.cumsum(keep.astype(jnp.int32)) - 1

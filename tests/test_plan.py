@@ -128,7 +128,9 @@ def _mk_path(pts):
     return Path(xy=jnp.asarray(xy), yaw=jnp.zeros(P), count=jnp.int32(len(pts)))
 
 
-@pytest.mark.parametrize("case", ["two", "four", "zigzag", "long"])
+@pytest.mark.parametrize(
+    "case", ["two", "four", "zigzag", "long", "reversal", "double_back",
+             "hairpin_mid"])
 def test_linearize_parity(case):
     rng = np.random.default_rng(5)
     if case == "two":
@@ -139,6 +141,19 @@ def test_linearize_parity(case):
         xs = np.linspace(0, 8, 24)
         ys = np.where(xs < 4, 0.02 * xs, 0.08 + 0.9 * (xs - 4))
         pts = np.stack([xs, ys], 1) + rng.normal(0, 0.005, (24, 2))
+    elif case == "reversal":
+        # sharp direction reversal at a joint: the backtracking removal
+        # must drop points (exercises the per-segment keep scan)
+        pts = np.array([[0, 0], [1.0, 0.0], [2.0, 0.0], [1.2, 0.05],
+                        [1.2, 1.5], [0.5, 2.0]])
+    elif case == "double_back":
+        # path goes out, comes back along itself, then leaves
+        pts = np.array([[0, 0], [2.0, 0.1], [0.3, 0.0], [0.3, 2.0]])
+    elif case == "hairpin_mid":
+        xs = np.linspace(0, 4, 12)
+        out = np.stack([xs, 0.02 * xs], 1)
+        back = np.stack([xs[::-1][1:], 0.1 + 0.02 * xs[::-1][1:]], 1)
+        pts = np.concatenate([out, back, [[0.0, 2.0]]], 0)
     else:  # ends at origin -> long-distance mode (10 segments)
         xs = np.linspace(8, 0.0, 30)
         ys = np.abs(np.sin(xs)) * 0.5
