@@ -91,6 +91,16 @@ class Statics:
     # JFA shift lowering: static unroll is ~4x faster on TPU but slow to
     # compile on CPU; dynamic (fori + roll) is the reverse. Same results.
     jfa_dynamic_shifts: bool = False
+    # Exact-fallback lax.conds (dense edge-crossing, cell-level union-find,
+    # direct first-K compaction) keep decisions identical when a static
+    # buffer overflows. A VMAPPED lax.cond executes BOTH branches, so on
+    # the batched Monte-Carlo path every world-build pays the expensive
+    # branch even when no lane overflows. False = always take the fast
+    # path; overflow is still DETECTED (guard bits: GUARD_CROSS_DENSE,
+    # GUARD_CCL_CELL_FALLBACK, GUARD_SKEL_OVERFLOW) but no longer
+    # corrected - flagged lanes should be discarded by the consumer.
+    # Keep True for parity tests, the latency bench, and replay.
+    exact_fallbacks: bool = True
     # Run each JFA pass with step <= 128 as a banded halo-DMA Pallas kernel
     # (one read+write of the carried planes per pass instead of XLA's
     # materialized shifts; TPU only - see gvd/jfa_pass_pallas.py).

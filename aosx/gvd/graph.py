@@ -355,7 +355,14 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
         return _edge_crossing_dense(grid, a, b, valid, num, s, 256)
 
     ok_fast = (total <= capp) & (nwin_true <= F)
-    crossing = jax.lax.cond(ok_fast, fine, dense, None)
+    if s.exact_fallbacks:
+        crossing = jax.lax.cond(ok_fast, fine, dense, None)
+    else:
+        # batched MC path: a vmapped cond would evaluate the dense 256-sample
+        # path for every lane every time; overflow is flagged
+        # (GUARD_CROSS_DENSE), and the fast result on an overflowed lane may
+        # keep edges the dense path would drop
+        crossing = fine(None)
 
     from ..guards import GUARD_CROSS_DENSE, GUARD_EDGE_COARSE
 

@@ -28,7 +28,8 @@ def compact_true(mask_flat, k: int):
     return jnp.where(ok, sel, -1), count
 
 
-def compact_true_hier(mask_flat, k: int, kw: int, win: int = 32):
+def compact_true_hier(mask_flat, k: int, kw: int, win: int = 32,
+                      exact_fallback: bool = True, with_overflow: bool = False):
     """First-K-true positions, hierarchical: window-level compaction over
     n/win windows, contiguous-row gather expansion of the first `kw`
     windows that contain any true, then a small top_k over the expansion.
@@ -74,10 +75,19 @@ def compact_true_hier(mask_flat, k: int, kw: int, win: int = 32):
             sel = jnp.concatenate([sel, jnp.full((k - n,), n, jnp.int32)])
         return sel
 
-    sel = jax.lax.cond(nw_true <= kw, hier, direct, None)
+    if exact_fallback:
+        sel = jax.lax.cond(nw_true <= kw, hier, direct, None)
+    else:
+        # batched MC path: a vmapped cond would run the direct full-length
+        # top_k for every lane every time; window overflow drops trailing
+        # cells and must be flagged by the caller (with_overflow=True)
+        sel = hier(None)
     ok = sel < n
     count = jnp.sum(ok.astype(jnp.int32))
-    return jnp.where(ok, sel, -1), count
+    out = jnp.where(ok, sel, -1)
+    if with_overflow:
+        return out, count, nw_true > kw
+    return out, count
 
 
 def compact_take(vals, indices, fill):

@@ -252,8 +252,9 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # the dominant hier cost; skeleton masks occupy ~2k of 131k windows on
     # the bench instance, so 8k windows keep 4x margin before the (exact,
     # slower) direct-top_k fallback triggers
-    cell_flat, _ = compact_true_hier(
-        mask0.reshape(-1), M, kw=max(4096, M // 8)
+    cell_flat, _, hier_overflow = compact_true_hier(
+        mask0.reshape(-1), M, kw=max(4096, M // 8),
+        exact_fallback=s.exact_fallbacks, with_overflow=True,
     )
     in_buf = cell_flat >= 0
     safe0 = jnp.maximum(cell_flat, 0)
@@ -282,7 +283,12 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
             nbrs6, s, L0=run_collapse_init(cell_flat, cell_ok, w)
         )
 
-    L = jax.lax.cond(uf_overflow, _cell_level, lambda _: L_fast, None)
+    if s.exact_fallbacks:
+        L = jax.lax.cond(uf_overflow, _cell_level, lambda _: L_fast, None)
+    else:
+        # batched MC path: a vmapped cond would run the cell-level path for
+        # every lane every time; overflow is flagged (guard below), not fixed
+        L = L_fast
 
     # cluster ids: rank of root among roots (raster == discovery order)
     is_root = cell_ok & (L == jnp.arange(M))
@@ -371,6 +377,9 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # in-polygon cells - see PARITY.md)
     n_cells_true = jnp.sum(mask0.astype(jnp.int32))
     guards = jnp.where(n_cells_true > M, jnp.int32(GUARD_SKEL_OVERFLOW), 0)
+    # window-compaction overflow drops trailing cells on the fast-only path
+    guards |= jnp.where(hier_overflow & ~jnp.bool_(s.exact_fallbacks),
+                        jnp.int32(GUARD_SKEL_OVERFLOW), 0)
     guards |= jnp.where((B < M) & jnp.any(count > B),
                         jnp.int32(GUARD_CLUSTER_LEN), 0)
     guards |= jnp.where(uf_overflow, jnp.int32(GUARD_CCL_CELL_FALLBACK), 0)

@@ -58,7 +58,12 @@ def main():
         # dynamic shifts for the test suite)
         import dataclasses
 
-        S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False)
+        # exact_fallbacks=False: a vmapped lax.cond runs BOTH branches, so
+        # the exact-fallback paths (dense crossing, cell-level union-find,
+        # direct compaction) would tax every lane's world build; overflow is
+        # flagged per lane (guards) instead and reported below
+        S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
+                                exact_fallbacks=False)
         spec = OrchardSpec(
             n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
             trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
@@ -106,6 +111,7 @@ def main():
             st, acc = chunk(world, st, acc, jnp.int32(off))
             off += chunk_steps
         out = finish(st, acc)
+        out["guards"] = world.guards
         return out, jnp.sum(out["travel_distance"])
 
     t0 = time.time()
@@ -120,6 +126,7 @@ def main():
         times.append(time.perf_counter() - t0)
     sec = float(np.median(times))
     done = int(np.asarray(out["completed"]).sum())
+    flagged = int((np.asarray(out["guards"]) != 0).sum())
     rps = batch / sec
     result = {
         "metric": "mc_rollouts_per_sec_per_chip",
@@ -128,6 +135,7 @@ def main():
         "batch": batch,
         "steps_per_rollout": steps,
         "completed": done,
+        "guard_flagged_lanes": flagged,
         "seconds_per_batch": round(sec, 3),
         "rollouts_per_sec_per_chip": round(rps, 2),
         "projected_v5e8_rollouts_per_sec": round(8 * rps, 2),

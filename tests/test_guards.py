@@ -104,3 +104,66 @@ def test_prox_partner_cap_flagged():
                                  params, S)
     )(jnp.asarray(pos), jnp.asarray(node_valid))
     assert int(guards) & GUARD_PROX_PPN
+
+
+def test_fast_only_mode_matches_exact_when_no_overflow():
+    """exact_fallbacks=False (the batched MC mode: a vmapped lax.cond runs
+    BOTH branches, so fallbacks are skipped) must be bit-identical to the
+    exact mode whenever no static buffer overflows - and report clean
+    guards."""
+    import dataclasses
+
+    from aosx.gvd import build_gvd_graph
+    from aosx.orchards import OrchardSpec, make_orchard
+    from aosx.perceive import perceive
+
+    spec = OrchardSpec(
+        n_rows=2, row_len=4.0, row_spacing=2.0, tree_spacing=1.0,
+        trunk_pts=10, noise_pts=16, origin=(2.0, 2.0), polygon_pad=1.0,
+    )
+    pc, poly = make_orchard(jax.random.PRNGKey(4), spec, S)
+    params = params_as_f32(AosParams())
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+
+    outs = []
+    for stat in (S, dataclasses.replace(S, exact_fallbacks=False)):
+        out = jax.jit(
+            lambda pc, poly: perceive(pc, poly, params, excl, stat,
+                                      ror_method="exact")
+        )(pc, poly)
+        g = jax.jit(
+            lambda se, rs, sk: build_gvd_graph(se, rs, sk, params, stat)
+        )(out.seeds, out.rows_sorted, out.skeleton)
+        outs.append((out, g))
+    (o1, g1), (o2, g2) = outs
+    assert int(g1.guards) == 0 and int(g2.guards) == 0
+    assert np.array_equal(np.asarray(o1.skeleton.occ), np.asarray(o2.skeleton.occ))
+    assert int(g1.num_nodes) == int(g2.num_nodes)
+    assert int(g1.num_edges) == int(g2.num_edges)
+    assert np.array_equal(np.asarray(g1.edges), np.asarray(g2.edges))
+    assert np.array_equal(np.asarray(g1.nodes), np.asarray(g2.nodes))
+
+
+def test_fast_only_mode_flags_overflow():
+    """When the run-level union-find buffers overflow in fast-only mode, the
+    CCL fallback guard must still be raised (results are flagged, not
+    silently trusted)."""
+    import dataclasses
+
+    from aosx.perceive.rows import cluster_grid
+    from aosx.types import Polygon
+
+    S2 = dataclasses.replace(S, exact_fallbacks=False)
+    rng = np.random.default_rng(3)
+    occ = (rng.random((S.grid_h, S.grid_w)) < 0.30).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0), origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(S.grid_h), w_cells=jnp.int32(S.grid_w),
+    )
+    poly = Polygon(pts=jnp.zeros((S.max_poly, 2), jnp.float32),
+                   count=jnp.int32(0))
+    params = params_as_f32(AosParams())
+    res = jax.jit(lambda g: cluster_grid(g, poly, params, S2))(grid)
+    from aosx.guards import GUARD_CCL_CELL_FALLBACK
+    assert int(res["guards"]) & GUARD_CCL_CELL_FALLBACK
