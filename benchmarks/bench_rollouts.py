@@ -62,8 +62,11 @@ def main():
         # the exact-fallback paths (dense crossing, cell-level union-find,
         # direct compaction) would tax every lane's world build; overflow is
         # flagged per lane (guards) instead and reported below
+        # max_plan 2048 -> 1024: every per-tick linearize op is max_plan-
+        # wide; MC tour legs are <= ~30 m = 600 points at 5 cm, so 1024
+        # keeps margin (overflow = documented deterministic first-N cap)
         S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
-                                exact_fallbacks=False)
+                                exact_fallbacks=False, max_plan=1024)
         spec = OrchardSpec(
             n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
             trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,

@@ -19,7 +19,7 @@ from aosx.plan.control import control_tick, on_path
 S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False)
 spec = OrchardSpec(n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
                    trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5)
-B = 64
+B = int(os.environ.get("PROBE_B", "64"))
 params = params_as_f32(AosParams())
 keys = jax.random.split(jax.random.PRNGKey(0), B)
 world, st0, acc = jax.jit(jax.vmap(
