@@ -60,7 +60,7 @@ def probe(x):
     return jnp.sum(leaf.astype(jnp.float32).ravel()[:4096])
 
 
-stage("step (whole, B=64)", lambda: probe(jax.vmap(
+stage(f"step (whole, B={B})", lambda: probe(jax.vmap(
     lambda st, w: engine.step(st, w, params, S)[1]["plan_len"],
     in_axes=(0, 0))(st, world)))
 

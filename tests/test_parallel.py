@@ -142,3 +142,22 @@ def test_chunked_rollout_matches_monolithic():
         assert int(np.asarray(got[k2])) == int(np.asarray(ref[k2])), k2
     for k2 in ("travel_distance", "final_dist_to_origin"):
         assert abs(float(got[k2]) - float(ref[k2])) < 1e-3, k2
+
+
+def test_vmap_consistency_fast_only_mode(params):
+    """The MC fast-only configuration (exact_fallbacks=False) must also be
+    vmap-consistent: batch-of-1 == unbatched, exactly."""
+    import dataclasses
+
+    S2 = dataclasses.replace(S, exact_fallbacks=False)
+    key = jax.random.PRNGKey(17)
+    single = jax.jit(
+        lambda k: rollout_one(k, SPEC, params, S2, N_STEPS, ror_method="exact")
+    )(key)
+    batch = jax.jit(
+        lambda k: batched_rollouts(k, SPEC, params, S2, N_STEPS, ror_method="exact")
+    )(key[None])
+    for name in single:
+        a = np.asarray(single[name])
+        b = np.asarray(batch[name])[0]
+        assert np.array_equal(a, b), (name, a, b)
