@@ -10,8 +10,9 @@ with only a final psum on ICI).
 Default scale (VERDICT r1 #5: realistic, not a toy): 19 x 26 m orchards
 (TEST_STATICS-sized 384 x 512 grid at 0.05 m), 4 rows x 12 m, 1200 control
 ticks per rollout (enough for full tours; the `completed` count in the
-output verifies rollouts actually finish). Batch default 512/chip = 4096 in
-flight on a v5e-8, addressing BASELINE's ">= 4096 sustained".
+output verifies rollouts actually finish). Batch default 128/chip (the measured
+throughput optimum: 5.36 rollouts/s/chip); the ">= 4096 in flight"
+capacity point runs with batch 512 (ROLLOUTS_CAPACITY.json).
 
 Run: python benchmarks/bench_rollouts.py [batch] [steps] [scale] [chunk]
   scale: 'mc' (default, realistic) | 'dryrun' (tiny smoke config)
@@ -71,7 +72,7 @@ def main():
             n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
             trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
         )
-        batch, steps = 512, 1200
+        batch, steps = 128, 1200   # measured throughput optimum (see README)
     if len(sys.argv) > 1:
         batch = int(sys.argv[1])
     if len(sys.argv) > 2:
