@@ -53,6 +53,10 @@ class World:
     waypoints: Any     # Waypoints (initial tour)
     guards: Any = dataclasses.field(
         default_factory=lambda: jnp.int32(0))  # aosx.guards bitmask
+    # skeleton dilated by the trim disc (plan.mission.trim_dilated_plane);
+    # None -> _trim uses the per-offset formulation (identical decisions,
+    # ~50x more gathers - fine unbatched, expensive under vmap)
+    trim_skel: Any = None
 
 
 @_dc
@@ -89,6 +93,8 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
         from .gvd.voronoi import jump_flood
 
         owner = jump_flood(out.skeleton, merge_seeds(out.seeds, params, s), s)
+    from .plan.mission import trim_dilated_plane
+
     world = World(
         skeleton=out.skeleton,
         occupancy=out.occupancy,
@@ -96,6 +102,7 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
         costmat=costmat,
         waypoints=wp,
         guards=out.guards | graph.guards,
+        trim_skel=trim_dilated_plane(out.skeleton, s),
     )
     return world, out, owner
 
@@ -172,7 +179,8 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
         state.mission, state.wp, state.robot.xy, mod_pub, params
     )
     raw, success = plan_current_path(
-        mission, wp, world.graph, world.costmat, world.skeleton, params, s
+        mission, wp, world.graph, world.costmat, world.skeleton, params, s,
+        trim_plane=world.trim_skel,
     )
     # keep last path when frozen or failed (cpp:265-271, 1036-1043)
     use_new = should_replan & success

@@ -341,21 +341,64 @@ def _yaws(xy, count, last_yaw):
     return jnp.where(idx < count, yaw, 0.0)
 
 
-def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics):
-    """trimPathNearOccupiedRegions (cpp:1570-1630): first index i >= 1 whose
-    0.2 m disc touches an occupied skeleton cell truncates the path to i."""
+def _trim_offsets(s: Statics):
     import math
 
     res = s.resolution
     rc = int(math.ceil(0.2 / res))
-    offs = [
+    return [
         (dy, dx)
         for dy in range(-rc, rc + 1)
         for dx in range(-rc, rc + 1)
         if math.hypot(dx, dy) * res <= 0.2
     ]
+
+
+def trim_dilated_plane(skel: GridWorld, s: Statics):
+    """Skeleton occupancy dilated by _trim's 0.2 m disc, computed ONCE per
+    world. With it, _trim is one lookup per path point instead of one per
+    (point, disc offset) - the offset gathers were ~7 ms/tick of the
+    batched Monte-Carlo step at batch 128 (benchmarks/probe_step_ablation).
+    Occupied cells exist only inside the live region (zero elsewhere), so
+    zero-fill shifts reproduce the per-offset in-grid test."""
+    from ..perceive.raster import shift2d
+
+    occ1 = (skel.occ == 1).astype(jnp.uint8)
+    out = jnp.zeros_like(occ1)
+    for dy, dx in _trim_offsets(s):
+        out = jnp.maximum(out, shift2d(occ1, -dy, -dx))
+    return out
+
+
+def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics,
+          trim_plane=None):
+    """trimPathNearOccupiedRegions (cpp:1570-1630): first index i >= 1 whose
+    0.2 m disc touches an occupied skeleton cell truncates the path to i.
+
+    With a precomputed trim_plane (trim_dilated_plane), the disc test is one
+    dilated-plane lookup at the point's own cell. This deviates from the
+    per-offset world arithmetic only when (x - origin)/res sits within one
+    f32 ulp of a cell boundary (the reference does this arithmetic in f64
+    anyway - documented deviation PARITY.md #4) or when a path point lies
+    OUTSIDE the grid with its disc poking in (paths stay inside the map)."""
+    import math
+
+    res = s.resolution
+    rc = int(math.ceil(0.2 / res))
+    offs = _trim_offsets(s)
     resf = jnp.float32(res)
     H, W = skel.occ.shape
+
+    if trim_plane is not None:
+        mx = ((xy[:, 0] - skel.origin_x) / resf).astype(jnp.int32)
+        my = ((xy[:, 1] - skel.origin_y) / resf).astype(jnp.int32)
+        ing = (mx >= 0) & (mx < skel.w_cells) & (my >= 0) & (my < skel.h_cells)
+        flat = jnp.clip(my, 0, H - 1) * W + jnp.clip(mx, 0, W - 1)
+        too_close = (trim_plane.reshape(-1)[flat] == 1) & ing
+        idx = jnp.arange(xy.shape[0])
+        bad = too_close & (idx >= 1) & (idx < count)
+        first_bad = jnp.min(jnp.where(bad, idx, xy.shape[0]))
+        return xy, yaw, jnp.minimum(count, first_bad)
     # One [D,P] batch with the SAME per-offset arithmetic as the former
     # Python loop (bit-parity), then a single flat 1D gather (XLA:TPU runs
     # gathers near-scalar; one dispatch of D*P elements beats D dispatches
@@ -387,6 +430,7 @@ def plan_current_path(
     s: Statics,
     *,
     use_current_position=None,  # robot xy for the next_waypoint service path
+    trim_plane=None,            # precomputed trim_dilated_plane (optional)
 ):
     """planAndPublishPath (cpp:976-1567). Returns (Path, success bool)."""
     P = s.max_path
@@ -483,5 +527,6 @@ def plan_current_path(
     xy = jnp.where(use_straight, straight_xy, gxy)
     yaw = jnp.where(use_straight, straight_yaw, gyaw)
     count = jnp.where(use_straight, straight_count, jnp.where(success, gcount, 0))
-    xy, yaw, count = _trim(xy, yaw, count, skel, params, s)
+    xy, yaw, count = _trim(xy, yaw, count, skel, params, s,
+                           trim_plane=trim_plane)
     return Path(xy=xy, yaw=yaw, count=count), success

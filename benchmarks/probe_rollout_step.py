@@ -105,3 +105,19 @@ oseg_t = jnp.asarray(np.sort(rngl.integers(0, NSEG, (B, Q)), axis=1), jnp.int32)
 ocnt_t = jnp.full((B,), 300, jnp.int32)
 stage("lin: backtrack_keep", lambda: probe(jax.vmap(
     lambda o, sg, c: _backtrack_keep(o, sg, c, NSEG))(oxy_t, oseg_t, ocnt_t)))
+
+# consume EVERYTHING (earlier step probes only read plan_len, so XLA DCE'd
+# the state-update path and undercounted)
+def probe_all(x):
+    return sum(jnp.sum(l.astype(jnp.float32).ravel()[:4096])
+               for l in jax.tree_util.tree_leaves(x))
+
+
+stage(f"step full-consume (B={B})", lambda: probe_all(jax.vmap(
+    lambda st, w: engine.step(st, w, params, S)[0], in_axes=(0, 0))(st, world)))
+
+stage(f"scan10 full-consume (B={B})", lambda: probe_all(jax.vmap(
+    lambda st, w: jax.lax.scan(
+        lambda s_, _: (engine.step(s_, w, params, S)[0], 0.0), st, None,
+        length=10)[0],
+    in_axes=(0, 0))(st, world)))

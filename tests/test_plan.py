@@ -205,3 +205,37 @@ def test_control_parity():
             mods_jax.append(int(mod))
     assert mods_jax == mods_ref
     assert 3 in mods_jax  # reached and stopped
+
+
+def test_trim_plane_matches_offset_formulation():
+    """_trim with the precomputed dilated plane == the per-offset
+    formulation on pipeline-shaped paths near real skeletons."""
+    from aosx.plan.mission import _trim, trim_dilated_plane
+    from aosx.types import GridWorld
+
+    rng = np.random.default_rng(9)
+    h, w = S.grid_h, S.grid_w
+    occ = (rng.random((h, w)) < 0.01).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0), origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(h), w_cells=jnp.int32(w),
+    )
+    params = params_as_f32(AosParams())
+    plane = jax.jit(lambda g: trim_dilated_plane(g, S))(grid)
+    P = S.max_path
+    for seed in range(6):
+        r2 = np.random.default_rng(seed)
+        n = int(r2.integers(2, P))
+        xy = np.zeros((P, 2), np.float32)
+        start = r2.uniform([0, 0], [w * S.resolution, h * S.resolution])
+        step = r2.uniform(-0.3, 0.3, (n, 2))
+        xy[:n] = np.clip(start + np.cumsum(step, 0), -1.0,
+                         [w * S.resolution + 1, h * S.resolution + 1])
+        yaw = np.zeros((P,), np.float32)
+        a = jax.jit(lambda x, y: _trim(x, y, jnp.int32(n), grid, params, S))(
+            jnp.asarray(xy), jnp.asarray(yaw))
+        b = jax.jit(lambda x, y: _trim(x, y, jnp.int32(n), grid, params, S,
+                                       trim_plane=plane))(
+            jnp.asarray(xy), jnp.asarray(yaw))
+        assert int(a[2]) == int(b[2]), (seed, int(a[2]), int(b[2]))
