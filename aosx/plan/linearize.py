@@ -191,8 +191,11 @@ def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     bp_mask = bp_mask | (idxs == count - 1)
     bp_mask = bp_mask & (idxs < count)
 
-    # breakpoint list in index order, capped at NSEG+1
-    NSEG = s.max_segments + 6  # few-point mode can have more joints than segs
+    # breakpoint list in index order, capped at NSEG+1. Breakpoint count is
+    # provably <= max_segments + 1: the DFS skips once nbp reaches
+    # max_segments - 1 interior breakpoints, plus the forced 0 and end;
+    # few-point mode (count <= 4) peaks at 4 bps. One extra slot of slack.
+    NSEG = s.max_segments + 1
     MAXBP = NSEG + 1
     rank = jnp.cumsum(bp_mask.astype(jnp.int32)) - 1
     tgt = jnp.where(bp_mask & (rank < MAXBP), rank, MAXBP)
