@@ -5,9 +5,9 @@ origin), 5 cm interpolation, backtracking-point removal.
 
 TPU mapping: the O(P) per-split regression sums become O(1) via prefix sums
 (the reference recomputes sums per candidate split, cpp:50-96+99-125 =
-O(P^2) per split); the recursion becomes a statically unrolled explicit DFS
-stack (left segment first, matching the reference's call order and its
-breakpoint-count gating; pop-count bound proof in _find_breakpoints).
+O(P^2) per split); the recursion becomes an explicit DFS stack inside a
+while_loop (left segment first, matching the reference's call order and its
+breakpoint-count gating).
 """
 
 from __future__ import annotations
@@ -74,57 +74,47 @@ def _best_split(tab, s_, e_, P):
     return jnp.where(e_ <= s_ + 1, e_, best)
 
 
-def _find_breakpoints(xy, count, max_segments, params, P, unroll: int = 20):
+def _find_breakpoints(xy, count, max_segments, params, P):
     """splitPathRecursive (cpp:128-177) as an explicit DFS stack (left first).
-    Returns bp_mask [P] (breakpoint indices, excluding the forced 0/end).
-
-    STATICALLY UNROLLED: total pops are provably <= 2*max_segments - 1
-    (every non-skip pop records a NEW interior breakpoint - branch ranges
-    have disjoint interiors and ancestors split at this range's endpoints,
-    so a split can never collide with an existing breakpoint; after
-    max_segments - 1 of those the nbp gate blocks all pushes, and pushes
-    are 2 per split). A while_loop here cost ~3.5 ms of the batched
-    engine step at batch 128 (lockstep iterations of trivial [P=64] work
-    are pure loop overhead - benchmarks/probe_step_ablation.py); the
-    unrolled bodies fuse. `unroll` must be >= 2*s.max_segments."""
+    Returns bp_mask [P] (breakpoint indices, excluding the forced 0/end)."""
     tab = _fit_tables(xy, count)
     idxs = jnp.arange(P)
     STK = 2 * 16  # generous: depth <= 2 * max_segments
 
+    def cond(st):
+        bp_mask, stack_s, stack_e, sp_, nbp = st
+        return sp_ > 0
+
     def body(st):
         bp_mask, stack_s, stack_e, sp_, nbp = st
-        active = sp_ > 0
-        spm = jnp.maximum(sp_ - 1, 0)
-        s_ = stack_s[spm]
-        e_ = stack_e[spm]
+        sp_ = sp_ - 1
+        s_ = stack_s[sp_]
+        e_ = stack_e[sp_]
         a, b, _ = _linreg(tab, s_, e_)
         interior = (idxs > s_) & (idxs < e_) & (idxs < count)
         dev = jnp.abs(xy[:, 1] - (a * xy[:, 0] + b))
         max_dev = jnp.max(jnp.where(interior, dev, -1.0))
-        skip = (
-            ~active | (e_ <= s_) | (max_dev < params.linearize_max_dev)
-            | (nbp >= max_segments - 1)
-        )
+        skip = (e_ <= s_) | (max_dev < params.linearize_max_dev) | (nbp >= max_segments - 1)
         split = _best_split(tab, s_, e_, P)
         is_new = ~bp_mask[split] & ~skip
         bp_mask = bp_mask.at[split].set(bp_mask[split] | ~skip)
         nbp = nbp + is_new.astype(jnp.int32)
         recurse = ~skip & (nbp < max_segments - 1)
         # push right then left (left popped first)
-        stack_s = jnp.where(recurse, stack_s.at[spm].set(split), stack_s)
-        stack_e = jnp.where(recurse, stack_e.at[spm].set(e_), stack_e)
-        stack_s = jnp.where(recurse, stack_s.at[spm + 1].set(s_), stack_s)
-        stack_e = jnp.where(recurse, stack_e.at[spm + 1].set(split), stack_e)
-        sp_ = jnp.where(active, jnp.where(recurse, spm + 2, spm), sp_)
+        stack_s = jnp.where(recurse, stack_s.at[sp_].set(split), stack_s)
+        stack_e = jnp.where(recurse, stack_e.at[sp_].set(e_), stack_e)
+        stack_s = jnp.where(recurse, stack_s.at[sp_ + 1].set(s_), stack_s)
+        stack_e = jnp.where(recurse, stack_e.at[sp_ + 1].set(split), stack_e)
+        sp_ = jnp.where(recurse, sp_ + 2, sp_)
         return bp_mask, stack_s, stack_e, sp_, nbp
 
     bp0 = jnp.zeros((P,), bool)
     ss = jnp.zeros((STK,), jnp.int32).at[0].set(0)
     se = jnp.zeros((STK,), jnp.int32).at[0].set(count - 1)
-    st = (bp0, ss, se, jnp.int32(1), jnp.int32(0))
-    for _ in range(unroll):
-        st = body(st)
-    return st[0]
+    bp_mask, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (bp0, ss, se, jnp.int32(1), jnp.int32(0))
+    )
+    return bp_mask
 
 
 def _backtrack_keep(oxy, oseg, ocount, NSEG: int):
@@ -189,8 +179,7 @@ def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     is_long = (jnp.abs(end_pt[0]) < 1e-6) & (jnp.abs(end_pt[1]) < 1e-6)
     max_segments = jnp.where(is_long, s.max_segments, 4)
 
-    bp_mask = _find_breakpoints(xy, count, max_segments, params, P,
-                                unroll=2 * s.max_segments)
+    bp_mask = _find_breakpoints(xy, count, max_segments, params, P)
     # <= 4 points: every interior point is a breakpoint (consecutive interp)
     few = count <= 4
     idxs = jnp.arange(P)

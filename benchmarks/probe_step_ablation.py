@@ -68,18 +68,6 @@ orig_lin = engine.linearize
 orig_plan = engine.plan_current_path
 orig_move = engine._move_robot
 
-import aosx.plan.linearize as linmod
-orig_bk = linmod._backtrack_keep
-orig_fb = linmod._find_breakpoints
-
-
-def null_backtrack(oxy, oseg, ocount, NSEG):
-    return jnp.arange(oxy.shape[0]) < ocount
-
-
-def null_breakpoints(xy, count, max_segments, params, P):
-    return jnp.zeros((P,), bool)
-
 
 def null_lin(path, pr, s):
     return Path(xy=jnp.zeros((s.max_plan, 2), jnp.float32),
@@ -102,12 +90,9 @@ for name, patches in (
     ("no linearize", {"linearize": null_lin}),
     ("no plan_current_path", {"plan_current_path": null_plan}),
     ("no both", {"linearize": null_lin, "plan_current_path": null_plan}),
-    ("no backtrack", {"_backtrack_keep": null_backtrack}),
-    ("no breakpoints", {"_find_breakpoints": null_breakpoints}),
 ):
     for k, v in patches.items():
-        tgt = linmod if k.startswith("_") else engine
-        setattr(tgt, k, v)
+        setattr(engine, k, v)
     try:
         for tag, state in (("t30", st), ("t200", st_late)):
             s_ = scan10(state)
@@ -117,5 +102,3 @@ for name, patches in (
         engine.linearize = orig_lin
         engine.plan_current_path = orig_plan
         engine._move_robot = orig_move
-        linmod._backtrack_keep = orig_bk
-        linmod._find_breakpoints = orig_fb
