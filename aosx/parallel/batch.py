@@ -27,7 +27,24 @@ from ..config import AosParams, Statics
 from ..orchards import OrchardSpec, make_orchard
 
 
-def rollout_summary(final, metrics):
+def _invalidate_flagged(summary, s: Statics):
+    """Enforce the PARITY.md fast-only contract IN-ENGINE (VERDICT r2 #5):
+    with exact_fallbacks=False the overflow-correcting lax.cond fallbacks are
+    skipped (a vmapped cond runs both branches), so a guard-flagged lane may
+    carry silently degraded results. Force such lanes to completed=False /
+    final_status=Failed(1) so no downstream aggregation can count them.
+    Exact mode keeps guards informational: the fallbacks corrected the
+    result, and the remaining bits are documented bounded approximations."""
+    if s.exact_fallbacks:
+        return summary
+    ok = summary["guards"] == 0
+    out = dict(summary)
+    out["completed"] = summary["completed"] & ok
+    out["final_status"] = jnp.where(ok, summary["final_status"], jnp.int32(1))
+    return out
+
+
+def rollout_summary(final, metrics, s: Statics):
     """Small per-orchard result pytree (keeps host transfer tiny)."""
     status = metrics["status"]
     done = metrics["completed"]
@@ -37,14 +54,15 @@ def rollout_summary(final, metrics):
     path_len = jnp.sum(
         jnp.sqrt(jnp.sum(jnp.diff(metrics["xy"], axis=0) ** 2, axis=1))
     )
-    return dict(
+    return _invalidate_flagged(dict(
         completed=final.mission.exploration_completed,
         steps_to_complete=first_done,
         final_status=status[-1],
         travel_distance=path_len,
         final_dist_to_origin=jnp.sqrt(jnp.sum(final.robot.xy**2)),
         waypoints=final.wp.count,
-    )
+        guards=jnp.bitwise_or.reduce(metrics["guards"], axis=0),
+    ), s)
 
 
 def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: int,
@@ -54,7 +72,7 @@ def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: 
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
     world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
     final, metrics = engine.episode(world, params, s, n_steps)
-    return rollout_summary(final, metrics)
+    return rollout_summary(final, metrics, s)
 
 
 def batched_rollouts(keys, spec, params, s, n_steps, ror_method="sorted"):
@@ -103,6 +121,7 @@ def _acc_init(s: Statics, n_steps_total: int):
         last_xy=jnp.zeros((2,), jnp.float32),
         has_prev=jnp.bool_(False),
         last_status=jnp.int32(0),
+        guards=jnp.int32(0),
     )
 
 
@@ -134,6 +153,7 @@ def rollout_chunk(world, st, acc, params, s: Statics, n: int, offset):
             last_xy=xy,
             has_prev=jnp.bool_(True),
             last_status=m["status"],
+            guards=acc["guards"] | m["guards"],
         )
         return (st, acc), None
 
@@ -141,14 +161,134 @@ def rollout_chunk(world, st, acc, params, s: Statics, n: int, offset):
     return st, acc
 
 
-def rollout_finish(st, acc):
+def rollout_finish(st, acc, s: Statics):
     """Same fields as rollout_summary (travel accumulated sequentially, so it
     can differ from the stacked-diff sum by float rounding ~1e-4)."""
-    return dict(
+    return _invalidate_flagged(dict(
         completed=st.mission.exploration_completed,
         steps_to_complete=acc["first_done"],
         final_status=acc["last_status"],
         travel_distance=acc["travel"],
         final_dist_to_origin=jnp.sqrt(jnp.sum(st.robot.xy**2)),
         waypoints=st.wp.count,
+        guards=acc["guards"],
+    ), s)
+
+
+# ---------------------------------------------------------------------------
+# sustained rollouts: lane refill at chunk boundaries (VERDICT r2 #2).
+#
+# A one-shot batch decays with size: lanes that finish early (or heavy-tail
+# orchards that never finish in budget) still burn full step budgets in the
+# lockstep vmapped while_loops. Here a fixed batch of device lanes is kept
+# full from a host-side work queue: at every chunk boundary, finished lanes
+# (completed OR budget-exhausted) are recorded and overwritten IN PLACE with
+# freshly built worlds in fixed-size groups (static shapes -> no recompiles).
+# All compaction happens host-side between device calls - no vmapped
+# lax.cond (CLAUDE.md round-2 lesson). Every started rollout is recorded
+# exactly once: 100% completion accounting.
+# ---------------------------------------------------------------------------
+
+
+def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
+                       params: AosParams, s: Statics, steps_budget: int, *,
+                       chunk_steps: int = 150, refill: int | None = None,
+                       seed: int = 0, ror_method: str = "sorted",
+                       on_progress=None):
+    """Run `total` full rollouts through `batch` device lanes with refill.
+
+    Returns (results, stats): `results` is a dict of np arrays indexed by
+    rollout id (same fields as rollout_finish); `stats` has wall-clock and
+    call counts. A lane is retired at the first chunk boundary at or after
+    completion; post-completion ticks are no-ops for every summary field
+    (mode-3 freeze at the origin), so a retired lane's record equals the
+    fixed-budget rollout_one result (pinned in test_parallel.py).
+    `refill` is the lane-group granularity for world rebuilds (begin() is
+    the HBM-peak phase; keep it <= 128)."""
+    import time
+
+    refill = refill or max(1, min(batch // 2, 64))
+    assert total >= batch, (total, batch)
+    # every queued key must eventually start: refill groups are fixed-size
+    assert (total - batch) % refill == 0, (total, batch, refill)
+
+    begin = jax.jit(jax.vmap(
+        lambda k: rollout_begin(k, spec, params, s, steps_budget,
+                                ror_method=ror_method)
+    ))
+    chunk = jax.jit(jax.vmap(
+        lambda w, st, acc, off: rollout_chunk(w, st, acc, params, s,
+                                              chunk_steps, off)
+    ))
+    finish = jax.jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, s)))
+    scatter = jax.jit(
+        lambda big, new, idx: jax.tree_util.tree_map(
+            lambda a, b: a.at[idx].set(b), big, new
+        )
     )
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), total)
+    results: dict[str, list] = {}
+    recorded = np.zeros(batch, bool)       # lane's current rollout recorded?
+    ages = np.zeros(batch, np.int32)       # control ticks run by lane's rollout
+    rid = np.arange(batch, dtype=np.int64)  # lane -> rollout id
+    n_recorded = 0
+    next_key = batch
+    n_chunk_calls = 0
+    n_begin_calls = 0
+
+    # initial fill, in refill-sized groups (one compile for begin)
+    assert batch % refill == 0, (batch, refill)
+    parts = [begin(keys[i:i + refill]) for i in range(0, batch, refill)]
+    n_begin_calls += len(parts)
+    world_b, st_b, acc_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+    )
+
+    # compile the steady-state callables BEFORE the timed region so the
+    # sustained number measures throughput, not first-call compilation
+    ages_dev = jnp.asarray(ages)
+    idx0 = jnp.arange(refill, dtype=jnp.int32)
+    new0 = jax.tree_util.tree_map(lambda a: a[:refill], (world_b, st_b, acc_b))
+    chunk.lower(world_b, st_b, acc_b, ages_dev).compile()
+    finish.lower(st_b, acc_b).compile()
+    scatter.lower((world_b, st_b, acc_b), new0, idx0).compile()
+
+    t0 = time.perf_counter()
+    while n_recorded < total:
+        st_b, acc_b = chunk(world_b, st_b, acc_b, jnp.asarray(ages))
+        n_chunk_calls += 1
+        ages += chunk_steps
+        comp = np.asarray(st_b.mission.exploration_completed)
+        finished = (comp | (ages >= steps_budget)) & ~recorded
+        if finished.any():
+            summ = jax.tree_util.tree_map(np.asarray, finish(st_b, acc_b))
+            for lane in np.nonzero(finished)[0]:
+                for k, v in summ.items():
+                    results.setdefault(k, [None] * total)[rid[lane]] = v[lane]
+                recorded[lane] = True
+                n_recorded += 1
+        # refill retired lanes in fixed-size groups while work remains
+        while recorded.sum() >= refill and next_key + refill <= total:
+            idx = np.nonzero(recorded)[0][:refill]
+            new = begin(keys[next_key:next_key + refill])
+            n_begin_calls += 1
+            world_b, st_b, acc_b = scatter(
+                (world_b, st_b, acc_b), new, jnp.asarray(idx.astype(np.int32))
+            )
+            ages[idx] = 0
+            recorded[idx] = False
+            rid[idx] = np.arange(next_key, next_key + refill)
+            next_key += refill
+        if on_progress is not None:
+            on_progress(n_recorded, total, time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t0
+
+    results_np = {k: np.stack(v) for k, v in results.items()}
+    stats = dict(
+        elapsed_s=elapsed,
+        chunk_calls=n_chunk_calls,
+        begin_calls=n_begin_calls,
+        rollouts_per_sec=total / elapsed,
+    )
+    return results_np, stats

@@ -123,7 +123,7 @@ def _make_iteration(H: int, W: int, bh: int, nbands: int, interpret: bool):
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(nbands,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=[
                     pl.BlockSpec((bh, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((8, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),

@@ -192,10 +192,13 @@ def linearize(path: Path, params: AosParams, s: Statics) -> Path:
     bp_mask = bp_mask & (idxs < count)
 
     # breakpoint list in index order, capped at NSEG+1. Breakpoint count is
-    # provably <= max_segments + 1: the DFS skips once nbp reaches
-    # max_segments - 1 interior breakpoints, plus the forced 0 and end;
-    # few-point mode (count <= 4) peaks at 4 bps. One extra slot of slack.
-    NSEG = s.max_segments + 1
+    # provably <= max(max_segments, 4) + 1: the DFS skips once nbp reaches
+    # max_segments - 1 interior breakpoints (non-long paths always run with
+    # max_segments=4, line 180), plus the forced 0 and end; few-point mode
+    # (count <= 4) peaks at 4 bps. One extra slot of slack. The max(.., 4)
+    # keeps a Statics with max_segments < 3 from silently truncating the
+    # final segment (ADVICE r2).
+    NSEG = max(s.max_segments, 4) + 1
     MAXBP = NSEG + 1
     rank = jnp.cumsum(bp_mask.astype(jnp.int32)) - 1
     tgt = jnp.where(bp_mask & (rank < MAXBP), rank, MAXBP)

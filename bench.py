@@ -24,6 +24,11 @@ vectorized parts here are faster than the C++ per-cell loops). Measured
 """
 
 REFERENCE_CPU_MS = 270591.0  # measured 2026-08-16, this machine
+# The measured comparator's O(E*M)/O(M^2) graph loops run in Python (262.9 of
+# 270.6 s). An optimized C++ port of those loops would land around 5-15 s
+# total (README.md "Baseline honesty"), so the JSON also carries the honest
+# estimated-C++ ratio range alongside the measured-Python one.
+HONEST_CPP_ESTIMATE_MS = (5000.0, 15000.0)
 
 import json
 import sys
@@ -147,6 +152,10 @@ def main():
                 "value": round(value, 3),
                 "unit": "ms",
                 "vs_baseline": round(REFERENCE_CPU_MS / value, 1),
+                "vs_baseline_cpp_estimate": [
+                    round(HONEST_CPP_ESTIMATE_MS[0] / value, 1),
+                    round(HONEST_CPP_ESTIMATE_MS[1] / value, 1),
+                ],
             }
         )
     )

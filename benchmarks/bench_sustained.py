@@ -1,0 +1,96 @@
+"""BASELINE config 5, SUSTAINED: >= 4096 total Monte-Carlo rollouts through
+a fixed lane batch with host-side lane refill at chunk boundaries
+(parallel/batch.sustained_rollouts; VERDICT r2 #2).
+
+The one-shot batched bench (bench_rollouts.py) decays with batch size
+(6.97 -> 5.74 -> 4.91 rollouts/s/chip at 128/256/512) because early-finished
+and never-finishing lanes still burn full step budgets in the lockstep
+vmapped while_loops. Refill converts dead lanes into throughput and gives
+100% completion accounting: every started rollout is recorded exactly once
+(completed or budget-exhausted).
+
+Run: python benchmarks/bench_sustained.py [total] [batch] [steps] [chunk] [refill]
+Writes the JSON line to stdout AND benchmarks/SUSTAINED.json.
+"""
+
+import json
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    import dataclasses
+
+    from aosx.config import TEST_STATICS, AosParams, params_as_f32
+    from aosx.orchards import OrchardSpec
+    from aosx.parallel.batch import sustained_rollouts
+
+    # same MC config as bench_rollouts.py 'mc' scale
+    S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
+                            exact_fallbacks=False, max_plan=1024)
+    spec = OrchardSpec(
+        n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
+        trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
+    )
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1200
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 150
+    refill = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    outfile = sys.argv[6] if len(sys.argv) > 6 else "SUSTAINED.json"
+    params = params_as_f32(AosParams())
+
+    last = [0.0]
+
+    def progress(n, tot, t):
+        if t - last[0] > 20 or n == tot:
+            last[0] = t
+            print(f"# {n}/{tot} rollouts recorded, {t:.0f}s, "
+                  f"{n / max(t, 1e-9):.2f}/s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    res, stats = sustained_rollouts(
+        total, batch, spec, params, S, steps,
+        chunk_steps=chunk, refill=refill, ror_method="sorted",
+        on_progress=progress,
+    )
+    wall = time.time() - t0
+    done = int(res["completed"].sum())
+    flagged = int((res["guards"] != 0).sum())
+    rps = stats["rollouts_per_sec"]
+    result = {
+        "metric": "mc_sustained_rollouts_per_sec_per_chip",
+        "grid": [S.grid_h, S.grid_w],
+        "total_rollouts": total,
+        "lanes": batch,
+        "steps_budget": steps,
+        "chunk_steps": chunk,
+        "refill": refill,
+        "completed": done,
+        "budget_exhausted": total - done,
+        "guard_flagged_lanes": flagged,
+        "elapsed_s": round(stats["elapsed_s"], 1),
+        "wall_incl_compile_s": round(wall, 1),
+        "chunk_calls": stats["chunk_calls"],
+        "begin_calls": stats["begin_calls"],
+        "rollouts_per_sec_per_chip": round(rps, 2),
+        "projected_v5e8_rollouts_per_sec": round(8 * rps, 2),
+    }
+    print(json.dumps(result))
+    with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            outfile), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

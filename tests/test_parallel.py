@@ -136,7 +136,7 @@ def test_chunked_rollout_matches_monolithic():
     )
     for c in range(3):
         st, acc = chunk(world, st, acc, jnp.int32(20 * c))
-    got = rollout_finish(st, acc)
+    got = rollout_finish(st, acc, DS)
 
     for k2 in ("completed", "steps_to_complete", "final_status", "waypoints"):
         assert int(np.asarray(got[k2])) == int(np.asarray(ref[k2])), k2
@@ -161,3 +161,120 @@ def test_vmap_consistency_fast_only_mode(params):
         a = np.asarray(single[name])
         b = np.asarray(batch[name])[0]
         assert np.array_equal(a, b), (name, a, b)
+
+
+def test_dryrun_hermetic_vs_poisoned_plugin(tmp_path):
+    """VERDICT r2 #1: the multi-chip gate must be physically unable to fail
+    on TPU-plugin state. Simulate a present-and-broken plugin: a poisoned
+    sitecustomize.py on the parent's PYTHONPATH (stamps a marker at every
+    interpreter start, like the real axon site hook) plus JAX_PLATFORMS=axon
+    (which, with no axon backend registered, makes ANY jax device query
+    raise). dryrun_multichip must still pass, and the marker must show the
+    sanitized inner subprocess never imported the poison."""
+    import os
+    import subprocess
+    import sys
+
+    poison = tmp_path / "poison_site"
+    poison.mkdir()
+    marker = tmp_path / "marker.txt"
+    (poison / "sitecustomize.py").write_text(
+        "with open(%r, 'a') as f:\n    f.write('imported\\n')\n" % str(marker)
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{poison}:{repo}"
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(2)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "dryrun_multichip ok: 2 devices" in proc.stdout
+    assert "dryrun spatial sharding ok" in proc.stdout
+    # poison ran in the parent (1 line) but NOT in the sanitized inner proc
+    assert marker.read_text() == "imported\n"
+
+
+def test_flagged_lane_cannot_report_success(params):
+    """VERDICT r2 #5: in fast-only mode (exact_fallbacks=False) a
+    guard-flagged lane must be hard-invalidated by the engine itself -
+    completed=False, final_status=Failed - no matter what the mission FSM
+    says. Exact mode keeps guards informational."""
+    import dataclasses
+
+    from aosx.parallel.batch import _invalidate_flagged
+
+    poisoned = dict(
+        completed=jnp.bool_(True),          # mission claims success...
+        steps_to_complete=jnp.int32(42),
+        final_status=jnp.int32(3),          # ...and "Exploration Complete"
+        travel_distance=jnp.float32(12.5),
+        final_dist_to_origin=jnp.float32(0.01),
+        waypoints=jnp.int32(7),
+        guards=jnp.int32(2),                # but a stage overflowed
+    )
+    S_fast = dataclasses.replace(S, exact_fallbacks=False)
+    out = _invalidate_flagged(dict(poisoned), S_fast)
+    assert not bool(out["completed"])
+    assert int(out["final_status"]) == 1        # Failed
+    assert int(out["steps_to_complete"]) == 42  # diagnostics preserved
+    # exact mode: fallbacks corrected the result; flag is informational
+    out_exact = _invalidate_flagged(dict(poisoned), S)
+    assert bool(out_exact["completed"])
+    assert int(out_exact["final_status"]) == 3
+    # clean lane unaffected in either mode
+    clean = dict(poisoned, guards=jnp.int32(0))
+    out_clean = _invalidate_flagged(dict(clean), S_fast)
+    assert bool(out_clean["completed"])
+    assert int(out_clean["final_status"]) == 3
+
+
+def test_flagged_lane_end_to_end(params):
+    """A genuinely tripped guard (skeleton buffer overflow via a tiny
+    max_skel_cells cap) must surface in the rollout summary's guards field
+    and, in fast-only mode, force the lane to not-completed/Failed."""
+    import dataclasses
+
+    from aosx.guards import GUARD_SKEL_OVERFLOW
+
+    S_tiny = dataclasses.replace(S, exact_fallbacks=False, max_skel_cells=8)
+    key = jax.random.PRNGKey(0)
+    out = jax.jit(
+        lambda k: rollout_one(k, SPEC, params, S_tiny, N_STEPS,
+                              ror_method="exact")
+    )(key)
+    assert int(out["guards"]) & GUARD_SKEL_OVERFLOW
+    assert not bool(out["completed"])
+    assert int(out["final_status"]) == 1
+
+
+def test_sustained_rollouts_accounting_and_parity(params):
+    """VERDICT r2 #2: sustained rollouts with lane refill. Every started
+    rollout is recorded exactly once (100% completion accounting), and each
+    record equals the fixed-budget rollout_one result for the same key:
+    budget-exhausted lanes ran exactly the budget, completed lanes are
+    frozen (mode 3 at the origin) for their post-completion ticks."""
+    from aosx.parallel.batch import sustained_rollouts
+
+    total, batch, budget = 8, 4, 60
+    res, stats = sustained_rollouts(
+        total, batch, SPEC, params, S, budget,
+        chunk_steps=20, refill=2, seed=5, ror_method="exact",
+    )
+    assert all(v.shape[0] == total for v in res.values())
+    assert stats["begin_calls"] >= total // 2  # refill actually happened
+
+    keys = jax.random.split(jax.random.PRNGKey(5), total)
+    one = jax.jit(
+        lambda k: rollout_one(k, SPEC, params, S, budget, ror_method="exact")
+    )
+    for i in range(total):
+        ref = jax.tree_util.tree_map(np.asarray, one(keys[i]))
+        for k in ("completed", "steps_to_complete", "final_status",
+                  "waypoints", "guards"):
+            assert int(res[k][i]) == int(ref[k]), (i, k, res[k][i], ref[k])
+        for k in ("travel_distance", "final_dist_to_origin"):
+            assert abs(float(res[k][i]) - float(ref[k])) < 1e-3, (i, k)

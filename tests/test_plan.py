@@ -239,3 +239,77 @@ def test_trim_plane_matches_offset_formulation():
                                        trim_plane=plane))(
             jnp.asarray(xy), jnp.asarray(yaw))
         assert int(a[2]) == int(b[2]), (seed, int(a[2]), int(b[2]))
+
+
+def test_linearize_backtracking_equivalence(monkeypatch):
+    """ADVICE r2 #1: randomized direct check of the per-segment backtracking
+    rewrite (linearize._backtrack_keep) against the reference's sequential
+    per-point scan (cpp:336-369: keep c iff nkept<=1 or
+    dot(prev1-prev2, c-prev1) >= -0.01, prevs advancing over KEPT points),
+    run on the REAL input distribution: fuzzed raw paths pushed through the
+    full linearize pipeline with only the keep-mask implementation swapped."""
+    import aosx.plan.linearize as lin
+
+    def seq_keep(oxy, oseg, ocount, NSEG):
+        Q = oxy.shape[0]
+
+        def body(i, st):
+            keep, prev2, prev1, nkept = st
+            c = oxy[i]
+            live = i < ocount
+            d1 = prev1 - prev2
+            ok = (nkept <= 1) | (jnp.dot(d1, c - prev1) >= -0.01)
+            k = live & ok
+            new_prev2 = jnp.where(k & (nkept >= 1), prev1, prev2)
+            new_prev1 = jnp.where(k, c, prev1)
+            return (
+                keep.at[i].set(k),
+                jnp.where(k, new_prev2, prev2),
+                new_prev1,
+                nkept + k.astype(jnp.int32),
+            )
+
+        keep, *_ = jax.lax.fori_loop(
+            0, Q, body,
+            (jnp.zeros((Q,), bool), jnp.zeros(2), jnp.zeros(2), jnp.int32(0)),
+        )
+        return keep
+
+    params = params_as_f32(AosParams())
+    P = S.max_path
+    rng = np.random.default_rng(20260817)
+    fast = jax.jit(lambda p: jlin.linearize(p, params, S))
+    # jit traces lazily: force the trace BEFORE monkeypatching so `fast`
+    # really captures the segment-structured implementation
+    dummy = Path(xy=jnp.zeros((P, 2), jnp.float32),
+                 yaw=jnp.zeros((P,), jnp.float32), count=jnp.int32(2))
+    fast(dummy)
+    assert lin._backtrack_keep is not seq_keep
+    monkeypatch.setattr(lin, "_backtrack_keep", seq_keep)
+    ref = jax.jit(lambda p: jlin.linearize(p, params, S))
+    ref(dummy)
+    for trial in range(24):
+        n = int(rng.integers(2, P + 1))
+        kind = trial % 4
+        if kind == 0:        # smooth wandering path
+            xy = np.cumsum(rng.normal(0, 0.3, (n, 2)), axis=0)
+        elif kind == 1:      # zigzag with reversals (stress backtracking)
+            xy = np.cumsum(rng.normal(0, 1.0, (n, 2)), axis=0)
+            xy[::3] = xy[::3] - rng.normal(0, 2.0, (xy[::3].shape))
+        elif kind == 2:      # near-collinear with jitter
+            t = np.linspace(0, 20, n)[:, None] * np.array([[1.0, 0.3]])
+            xy = t + rng.normal(0, 0.02, (n, 2))
+        else:                # goal at origin -> long-distance mode
+            xy = np.cumsum(rng.normal(0, 0.5, (n, 2)), axis=0)
+            xy[-1] = 0.0
+        buf = np.zeros((P, 2), np.float32)
+        buf[:n] = xy.astype(np.float32)
+        path = Path(xy=jnp.asarray(buf),
+                    yaw=jnp.zeros((P,), jnp.float32),
+                    count=jnp.int32(n))
+        a = jax.tree_util.tree_map(np.asarray, fast(path))
+        b = jax.tree_util.tree_map(np.asarray, ref(path))
+        assert int(a.count) == int(b.count), (trial, int(a.count), int(b.count))
+        m = int(a.count)
+        assert np.array_equal(a.xy[:m], b.xy[:m]), trial
+        assert np.array_equal(a.yaw[:m], b.yaw[:m]), trial
