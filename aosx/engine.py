@@ -79,11 +79,15 @@ class EngineState:
 
 def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
                        exclusions, s: Statics, *, ror_method: str = "sorted",
-                       with_owner: bool = False):
+                       with_owner: bool = False, stencil_mesh=None,
+                       stencil_axis: str = "space"):
     """One full perception + graph pass over a static map. Returns
     (World, PerceiveOut, owner-plane-or-None); the extras feed the renderer's
-    seed / tree-row / Voronoi-cell marker families (io/render.py)."""
-    out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method)
+    seed / tree-row / Voronoi-cell marker families (io/render.py).
+    stencil_mesh: optional Mesh - row-shard the grid stencils across chips
+    (see perceive.pipeline)."""
+    out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method,
+                   stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
     graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s)
     costmat = cost_matrix(graph, s)
     wp = build_waypoints(graph, params, s)
@@ -108,10 +112,13 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
 
 
 def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
-                  s: Statics, *, ror_method: str = "sorted") -> World:
+                  s: Statics, *, ror_method: str = "sorted",
+                  stencil_mesh=None, stencil_axis: str = "space") -> World:
     """One full perception + graph pass over a static map."""
     world, _, _ = prepare_world_full(pc, poly, params, exclusions, s,
-                                     ror_method=ror_method)
+                                     ror_method=ror_method,
+                                     stencil_mesh=stencil_mesh,
+                                     stencil_axis=stencil_axis)
     return world
 
 

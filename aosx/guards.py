@@ -17,6 +17,7 @@ GUARD_PROX_PPN = 16       # a node had more than PPN proximity partners
 GUARD_CROSS_DENSE = 32    # packed crossing overflowed -> dense fallback
 GUARD_CCL_CELL_FALLBACK = 64  # run-level CCL overflowed -> cell-level path
 GUARD_NONFINITE = 128     # NaN/Inf leaked into a published tick output
+GUARD_RIDGE_COMPACT = 256  # ridge candidate compaction overflowed (fast mode)
 
 _NAMES = {
     GUARD_ROR_SPAN: "ror_sorted_block_span",
@@ -27,6 +28,7 @@ _NAMES = {
     GUARD_CROSS_DENSE: "crossing_dense_fallback",
     GUARD_CCL_CELL_FALLBACK: "ccl_cell_level_fallback",
     GUARD_NONFINITE: "nonfinite_tick_output",
+    GUARD_RIDGE_COMPACT: "ridge_candidate_compaction_overflow",
 }
 
 

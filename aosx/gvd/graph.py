@@ -376,6 +376,50 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     return out, guards
 
 
+def _ridge_edges_from(lo, hi, pok, vidx, pos, sx, sy, N: int, S: int, E: int):
+    """Candidate (pair, vertex) entries [L] -> E-compacted deduped ridge
+    edges. Entries sharing a seed-pair ridge are connected consecutively
+    along the ridge tangent (sort by (pair key, tangent projection)); same
+    algorithm regardless of L, so the compacted fast path and the full
+    fallback below produce identical prefixes."""
+    tx = sx[jnp.minimum(hi, S)] - sx[jnp.minimum(lo, S)]
+    ty = sy[jnp.minimum(hi, S)] - sy[jnp.minimum(lo, S)]
+    # ridge tangent = rot90(seed_b - seed_a)
+    tangx, tangy = -ty, tx
+    vsafe = jnp.clip(vidx, 0, N - 1)
+    vposx = pos[vsafe, 0]
+    vposy = pos[vsafe, 1]
+    tproj = vposx * tangx + vposy * tangy
+
+    key = jnp.where(pok, lo * (S + 1) + hi, jnp.int32((S + 1) * (S + 1)))
+    order = jnp.lexsort((tproj, key))
+    key_s = key[order]
+    vidx_s = vidx[order]
+    same = (key_s[:-1] == key_s[1:]) & (key_s[:-1] < (S + 1) * (S + 1))
+    ra = vidx_s[:-1]
+    rb = vidx_s[1:]
+    r_valid = same & (ra != rb)
+
+    # canonical + dedupe (same vertex pair may border two different ridges)
+    ea = jnp.minimum(ra, rb)
+    eb = jnp.maximum(ra, rb)
+    ekey = jnp.where(r_valid, ea * N + eb, jnp.int32(N) * N)
+    ekey_s = jnp.sort(ekey)
+    first = jnp.concatenate([jnp.array([True]), ekey_s[1:] != ekey_s[:-1]])
+    ridge_valid = first & (ekey_s < jnp.int32(N) * N)
+    ridge_a = (ekey_s // N).astype(jnp.int32)
+    ridge_b = (ekey_s % N).astype(jnp.int32)
+
+    # compact ridge candidates (cap E); the crossing filter then runs only
+    # on the compacted set
+    rrank = jnp.cumsum(ridge_valid.astype(jnp.int32)) - 1
+    rtgt = jnp.where(ridge_valid & (rrank < E), rrank, E)
+    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_a, mode="drop")[:E]
+    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_b, mode="drop")[:E]
+    n_ridge_cand = jnp.minimum(jnp.sum(ridge_valid.astype(jnp.int32)), E)
+    return edges_a, edges_b, n_ridge_cand
+
+
 def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
                 params: AosParams, s: Statics, return_diag: bool = False):
     """Ridge edges + proximity edges, occupied-crossing filtered."""
@@ -399,41 +443,39 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
 
     sx = jnp.concatenate([seeds.xy[:, 0], jnp.zeros((1,), jnp.float32)])
     sy = jnp.concatenate([seeds.xy[:, 1], jnp.zeros((1,), jnp.float32)])
-    tx = sx[jnp.minimum(hi, S)] - sx[jnp.minimum(lo, S)]
-    ty = sy[jnp.minimum(hi, S)] - sy[jnp.minimum(lo, S)]
-    # ridge tangent = rot90(seed_b - seed_a)
-    tangx, tangy = -ty, tx
-    vposx = pos[jnp.minimum(vidx, N - 1), 0]
-    vposy = pos[jnp.minimum(vidx, N - 1), 1]
-    tproj = vposx * tangx + vposy * tangy
 
-    key = jnp.where(pok, lo * (S + 1) + hi, jnp.int32((S + 1) * (S + 1)))
-    order = jnp.lexsort((tproj, key))
-    key_s = key[order]
-    vidx_s = vidx[order]
-    same = (key_s[:-1] == key_s[1:]) & (key_s[:-1] < (S + 1) * (S + 1))
-    ra = vidx_s[:-1]
-    rb = vidx_s[1:]
-    r_valid = same & (ra != rb)
+    # compact the candidate entries BEFORE the two sorts: vertices carry ~3
+    # owner pairs on average (4-owner corners are rare), so the live entry
+    # count is ~3N while the raw list is 6N and the sorts dominate this
+    # stage's device time. cumsum+scatter compaction (top_k at large k costs
+    # a full sort - CLAUDE.md), preserving index order, so the sorted
+    # sequences and every downstream decision are identical. Overflow
+    # (> RK live entries) falls back to the full-list path under lax.cond
+    # (exact mode) or trips GUARD_RIDGE_COMPACT (fast-only mode).
+    RK = 3 * N
+    n_live = jnp.sum(pok.astype(jnp.int32))
+    crank = jnp.cumsum(pok.astype(jnp.int32)) - 1
+    ctgt = jnp.where(pok & (crank < RK), crank, RK)
+    clo = jnp.full((RK + 1,), S, jnp.int32).at[ctgt].set(lo, mode="drop")[:RK]
+    chi = jnp.full((RK + 1,), S, jnp.int32).at[ctgt].set(hi, mode="drop")[:RK]
+    cvidx = jnp.zeros((RK + 1,), jnp.int32).at[ctgt].set(vidx, mode="drop")[:RK]
+    cpok = jnp.zeros((RK + 1,), bool).at[ctgt].set(pok, mode="drop")[:RK]
 
-    # canonical + dedupe (same vertex pair may border two different ridges)
-    ea = jnp.minimum(ra, rb)
-    eb = jnp.maximum(ra, rb)
-    ekey = jnp.where(r_valid, ea * N + eb, jnp.int32(N) * N)
-    order2 = jnp.argsort(ekey)
-    ekey_s = ekey[order2]
-    first = jnp.concatenate([jnp.array([True]), ekey_s[1:] != ekey_s[:-1]])
-    ridge_valid = first & (ekey_s < jnp.int32(N) * N)
-    ridge_a = (ekey_s // N).astype(jnp.int32)
-    ridge_b = (ekey_s % N).astype(jnp.int32)
+    def ridge_fast(_):
+        return _ridge_edges_from(clo, chi, cpok, cvidx, pos, sx, sy, N, S, E)
 
-    # compact ridge candidates FIRST (cap E), then crossing-filter only the
-    # compacted set (the raw candidate list is 6N long, mostly padding)
-    rrank = jnp.cumsum(ridge_valid.astype(jnp.int32)) - 1
-    rtgt = jnp.where(ridge_valid & (rrank < E), rrank, E)
-    edges_a = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_a, mode="drop")[:E]
-    edges_b = jnp.full((E + 1,), -1, jnp.int32).at[rtgt].set(ridge_b, mode="drop")[:E]
-    n_ridge_cand = jnp.minimum(jnp.sum(ridge_valid.astype(jnp.int32)), E)
+    def ridge_full(_):
+        return _ridge_edges_from(lo, hi, pok, vidx, pos, sx, sy, N, S, E)
+
+    ridge_ok = n_live <= RK
+    if s.exact_fallbacks:
+        edges_a, edges_b, n_ridge_cand = jax.lax.cond(
+            ridge_ok, ridge_fast, ridge_full, None)
+    else:
+        edges_a, edges_b, n_ridge_cand = ridge_fast(None)
+    from ..guards import GUARD_RIDGE_COMPACT
+
+    ridge_guard = jnp.where(~ridge_ok, jnp.int32(GUARD_RIDGE_COMPACT), 0)
     rvalid = jnp.arange(E) < n_ridge_cand
     pa = pos[jnp.maximum(edges_a, 0)]
     pb = pos[jnp.maximum(edges_b, 0)]
@@ -529,7 +571,8 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
         jnp.sqrt(jnp.sum((pos[jnp.maximum(fb, 0)] - pos[jnp.maximum(fa, 0)]) ** 2, axis=1)),
         0.0,
     )
-    guards = cross_guards | jnp.where(ppn_overflow, jnp.int32(GUARD_PROX_PPN), 0)
+    guards = (cross_guards | ridge_guard
+              | jnp.where(ppn_overflow, jnp.int32(GUARD_PROX_PPN), 0))
     if return_diag:
         return fa, fb, ev, lengths, n_edges, guards, cross_out[2]
     return fa, fb, ev, lengths, n_edges, guards

@@ -125,3 +125,47 @@ def msg_to_gvd_arrays(msg: dict):
                     if labels[i] & (1 << t):
                         label_node[ci[i], t] = i
     return nodes, edges, np.asarray(msg["edge_lengths"], np.float32), label_node
+
+
+def msg_to_gvd_graph(msg: dict, s):
+    """Reference-format GvdGraph dict -> padded GvdGraph pytree, ready for
+    the planner (cost_matrix / build_waypoints / engine episode). This is
+    the full switch-over path for a consumer holding graphs recorded from
+    the C++ node (msg/GvdGraph.msg:1-59): tested end-to-end in
+    tests/test_ref_format.py, where an oracle-built reference graph drives
+    a complete exploration episode."""
+    import jax.numpy as jnp
+
+    from ..types import GvdGraph
+
+    nodes, edges, lengths, label_node = msg_to_gvd_arrays(msg)
+    n, e = nodes.shape[0], edges.shape[0]
+    N, E, C = s.max_nodes, s.max_edges, s.max_rows
+    if n > N or e > E or label_node.shape[0] > C:
+        raise ValueError(
+            f"message exceeds Statics caps: nodes {n}/{N}, edges {e}/{E}, "
+            f"clusters {label_node.shape[0]}/{C}"
+        )
+    pnodes = np.zeros((N, 2), np.float32)
+    pnodes[:n] = nodes
+    pedges = np.full((E, 2), -1, np.int32)
+    pedges[:e] = edges
+    plen = np.zeros((E,), np.float32)
+    plen[:e] = lengths
+    pln = np.full((C, 4), -1, np.int32)
+    pln[: label_node.shape[0]] = label_node
+    plabels = np.zeros((N,), np.int32)
+    raw_labels = np.asarray(msg.get("node_labels", []), np.int32)
+    plabels[: raw_labels.shape[0]] = raw_labels[:N]
+    return GvdGraph(
+        nodes=jnp.asarray(pnodes),
+        node_valid=jnp.arange(N) < n,
+        node_labels=jnp.asarray(plabels),
+        label_node=jnp.asarray(pln),
+        edges=jnp.asarray(pedges),
+        edge_valid=jnp.arange(E) < e,
+        edge_lengths=jnp.asarray(plen),
+        edge_clearances=jnp.zeros((E,), jnp.float32),
+        num_nodes=jnp.int32(n),
+        num_edges=jnp.int32(e),
+    )

@@ -42,12 +42,28 @@ def perceive(
     s: Statics,
     *,
     ror_method: str = "sorted",
+    stencil_mesh=None,
+    stencil_axis: str = "space",
 ) -> PerceiveOut:
+    """stencil_mesh: optional jax.sharding.Mesh - runs the grid stencils
+    (disc inflation, morph open + Zhang-Suen) row-sharded across the mesh
+    axis with ppermute halo exchange (parallel/spatial.py), bit-identical
+    to the single-device path (tested in test_parallel.py and exercised by
+    __graft_entry__.dryrun_multichip phase 3). The non-stencil stages are
+    replicated; sharding them is out of scope while the largest supported
+    grid fits on one chip (spatial.py module docstring)."""
     xy, keep, bounds, guards = _points.preprocess(pc, poly, params, exclusions, s, ror_method=ror_method)
     grid = _raster.generate_grid(xy, keep, bounds, s)
-    inflated = _raster.inflate(grid, s)
-    occupancy = _raster.mark_borders(inflated)
-    skel = _skeleton.skeletonize(inflated, s)
+    if stencil_mesh is not None:
+        from ..parallel.spatial import inflate_sharded, skeletonize_sharded
+
+        inflated = inflate_sharded(grid, s, stencil_mesh, stencil_axis)
+        occupancy = _raster.mark_borders(inflated)
+        skel = skeletonize_sharded(inflated, s, stencil_mesh, stencil_axis)
+    else:
+        inflated = _raster.inflate(grid, s)
+        occupancy = _raster.mark_borders(inflated)
+        skel = _skeleton.skeletonize(inflated, s)
     clusters = _rows.cluster_grid(skel, poly, params, s)
     rows = _rows.rows_from_clusters(clusters, skel, poly, params, s)
     rows_sorted = _rows.sort_rows(rows)

@@ -167,3 +167,43 @@ def test_fast_only_mode_flags_overflow():
     res = jax.jit(lambda g: cluster_grid(g, poly, params, S2))(grid)
     from aosx.guards import GUARD_CCL_CELL_FALLBACK
     assert int(res["guards"]) & GUARD_CCL_CELL_FALLBACK
+
+
+def test_ridge_compact_overflow_guard_and_fallback():
+    """Ridge candidate compaction (build_edges RK = 3N cap): when every
+    vertex carries 4 distinct owners (6N live entries > 3N), exact mode must
+    take the full-list fallback (no candidates lost) and fast-only mode must
+    trip GUARD_RIDGE_COMPACT."""
+    import dataclasses
+
+    from aosx.guards import GUARD_RIDGE_COMPACT
+    from aosx.gvd.graph import build_edges
+    from aosx.types import SeedSet
+
+    N = S.max_nodes
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(0.5, 8.0, (N, 2)).astype(np.float32)
+    # 4 distinct owners per vertex -> all 6 pairs live on every vertex
+    owners = np.stack(
+        [rng.permutation(S.max_seeds)[:4] for _ in range(N)]
+    ).astype(np.int32)
+    node_valid = np.ones(N, bool)
+    sxy = rng.uniform(0.0, 9.0, (S.max_seeds, 2)).astype(np.float32)
+    seeds = SeedSet(xy=jnp.asarray(sxy),
+                    valid=jnp.ones(S.max_seeds, bool),
+                    kind=jnp.zeros(S.max_seeds, jnp.int8))
+    grid = GridWorld(occ=jnp.zeros((S.grid_h, S.grid_w), jnp.uint8),
+                     origin_x=jnp.float32(0), origin_y=jnp.float32(0),
+                     h_cells=jnp.int32(S.grid_h), w_cells=jnp.int32(S.grid_w))
+    params = params_as_f32(AosParams())
+
+    args = (jnp.asarray(pos), jnp.asarray(owners), jnp.asarray(node_valid))
+    exact = jax.jit(lambda p, o, v: build_edges(p, o, v, grid, seeds,
+                                                params, S))(*args)
+    S_fast = dataclasses.replace(S, exact_fallbacks=False)
+    fast = jax.jit(lambda p, o, v: build_edges(p, o, v, grid, seeds,
+                                               params, S_fast))(*args)
+    assert int(exact[5]) & GUARD_RIDGE_COMPACT   # informational in exact mode
+    assert int(fast[5]) & GUARD_RIDGE_COMPACT
+    # the fallback saw all 6N candidates; the fast path dropped half
+    assert int(exact[4]) >= int(fast[4])

@@ -278,3 +278,33 @@ def test_sustained_rollouts_accounting_and_parity(params):
             assert int(res[k][i]) == int(ref[k]), (i, k, res[k][i], ref[k])
         for k in ("travel_distance", "final_dist_to_origin"):
             assert abs(float(res[k][i]) - float(ref[k])) < 1e-3, (i, k)
+
+
+def test_prepare_world_sharded_stencils(params):
+    """VERDICT r2 #7: the spatial axis composed into the pipeline - the full
+    prepare_world with row-sharded inflation + skeletonization must be
+    bit-identical to the single-device world (graph/costmat/waypoints and
+    all), not just the standalone stencils."""
+    from jax.sharding import Mesh
+    from aosx import engine
+    from aosx.orchards import make_orchard
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(cpus[:4]), ("space",))
+    key = jax.random.PRNGKey(2)
+    pc, poly = make_orchard(key, SPEC, S)
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    with jax.default_device(cpus[0]):
+        w_ref = jax.jit(
+            lambda pc, poly, pr, ex: engine.prepare_world(
+                pc, poly, pr, ex, S, ror_method="exact")
+        )(pc, poly, params, excl)
+        w_sh = jax.jit(
+            lambda pc, poly, pr, ex: engine.prepare_world(
+                pc, poly, pr, ex, S, ror_method="exact", stencil_mesh=mesh)
+        )(pc, poly, params, excl)
+    for lr, ls in zip(jax.tree_util.tree_leaves(w_ref),
+                      jax.tree_util.tree_leaves(w_sh)):
+        assert np.array_equal(np.asarray(lr), np.asarray(ls))

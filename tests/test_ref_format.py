@@ -1,0 +1,178 @@
+"""Reference-format system tests (VERDICT r2 missing #4):
+
+1. A GvdGraph dict in the C++ WIRE FORMAT (msg/GvdGraph.msg:1-59), built
+   from the Subdiv2D oracle exactly as the C++ node would publish it, is
+   ingested via io.ros_msgs.msg_to_gvd_graph and drives a COMPLETE
+   exploration episode through the planner/FSM - the full switch-over path
+   for a consumer holding graphs recorded from the reference stack.
+2. The reference's native demo-field scale - 0.05 m resolution,
+   ~1540 x 460 live cells (config/aos_planner_params.yaml:55-62 +
+   the hardcoded polygon, aos_seed_gen_node.cpp:196-199) - runs through
+   perceive -> GVD -> plan and produces a successful first plan.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx import engine
+from aosx.config import TEST_STATICS as S, AosParams, Statics, params_as_f32
+from aosx.io import ros_msgs
+from aosx.oracle import gvd as og
+from aosx.oracle import perceive as op
+from aosx.orchards import OrchardSpec, make_orchard_np
+from aosx.plan.astar import cost_matrix
+from aosx.plan.mission import build_waypoints, trim_dilated_plane
+from aosx.types import STATUS_STRINGS, GridWorld
+
+
+def _grid_to_world(g, s):
+    """Oracle Grid ({0,100} int8) -> padded GridWorld ({0,1} u8)."""
+    data = (g.data == 100).astype(np.uint8)
+    h, w = data.shape
+    occ = np.zeros((s.grid_h, s.grid_w), np.uint8)
+    occ[:h, :w] = data
+    return GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(g.origin_x),
+        origin_y=jnp.float32(g.origin_y),
+        h_cells=jnp.int32(h),
+        w_cells=jnp.int32(w),
+    )
+
+
+def _ref_graph_to_msg(ref, resolution, origin_x, origin_y):
+    """RefGraph (oracle) -> the C++ node's published dict, replicating
+    publishGraph's ragged encoding (aos_gvd_node.cpp:897-1010): per node,
+    (cluster, label_type) pairs ascending; node_cluster_indices = first
+    cluster; flat edge pairs; edge_clearances always 0."""
+    n = len(ref.nodes)
+    per_node: dict[int, list[tuple[int, int]]] = {}
+    for c in range(ref.label_node.shape[0]):
+        for t in range(4):
+            ni = int(ref.label_node[c, t])
+            if ni >= 0:
+                per_node.setdefault(ni, []).append((c, t))
+    clusters, types, counts, ci = [], [], [], []
+    for i in range(n):
+        pairs = sorted(per_node.get(i, []))
+        counts.append(len(pairs))
+        ci.append(pairs[0][0] if pairs else -1)
+        for c, t in pairs:
+            clusters.append(c)
+            types.append(t)
+    return dict(
+        resolution=float(resolution),
+        origin_x=float(origin_x),
+        origin_y=float(origin_y),
+        num_nodes=n,
+        num_edges=len(ref.edges),
+        nodes=[dict(x=float(p[0]), y=float(p[1]), z=0.0) for p in ref.nodes],
+        node_labels=[int(x) for x in ref.node_labels],
+        node_cluster_indices=ci,
+        node_label_clusters=clusters,
+        node_label_types=types,
+        node_label_counts=counts,
+        edges=[int(x) for e in ref.edges for x in e],
+        edge_lengths=[float(x) for x in ref.edge_lengths],
+        edge_clearances=[0.0] * len(ref.edges),
+    )
+
+
+def test_reference_graph_drives_full_episode():
+    spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0), noise_pts=64)
+    xyz, poly = make_orchard_np(spec, seed=0)
+    ores = op.perceive(xyz, poly)
+    ref = og.gvd_graph(ores.seeds, ores.skeleton, ores.rows_sorted)
+
+    msg = _ref_graph_to_msg(
+        ref, ores.skeleton.resolution, ores.skeleton.origin_x,
+        ores.skeleton.origin_y,
+    )
+    # wire-format sanity: the ragged fields round-trip through the exporter's
+    # own inverse before anything touches the planner
+    nodes2, edges2, lens2, ln2 = ros_msgs.msg_to_gvd_arrays(msg)
+    assert np.allclose(nodes2, np.asarray(ref.nodes, np.float32))
+    graph = ros_msgs.msg_to_gvd_graph(msg, S)
+    assert int(graph.num_nodes) == len(ref.nodes)
+    assert int(graph.num_edges) == len(ref.edges)
+
+    params = params_as_f32(AosParams())
+    skel = _grid_to_world(ores.skeleton, S)
+    occ = _grid_to_world(ores.occupancy, S)
+    build = jax.jit(lambda g, sk: (cost_matrix(g, S),
+                                   build_waypoints(g, params, S),
+                                   trim_dilated_plane(sk, S)))
+    costmat, wp, trim = build(graph, skel)
+    assert int(wp.count) >= 4, "reference graph produced no waypoint tour"
+
+    world = engine.World(
+        skeleton=skel, occupancy=occ, graph=graph, costmat=costmat,
+        waypoints=wp, trim_skel=trim,
+    )
+    n_steps = 3000
+    run = jax.jit(lambda w, p: engine.episode(w, p, S, n_steps))
+    final, metrics = run(world, params)
+    status = np.asarray(metrics["status"])
+    assert bool(np.asarray(final.mission.exploration_completed))
+    assert STATUS_STRINGS[int(status[-1])] == "Exploration Complete"
+    assert np.linalg.norm(np.asarray(final.robot.xy)) <= 1.0
+
+
+# reference native scale: 0.05 m, demo strip ~77 x 23 m => ~1540 x 460 live
+# cells (caps padded to TPU-friendly 464 x 1664)
+NATIVE_STATICS = Statics(
+    grid_h=464,
+    grid_w=1664,
+    resolution=0.05,
+    max_points=32768,
+    max_skel_cells=16384,
+    max_clusters=64,
+    max_rows=16,
+    max_seeds_per_row=96,
+    max_seeds=1024,
+    max_nodes=2048,
+    max_edges=8192,
+    jfa_dynamic_shifts=True,  # CPU test
+)
+
+
+def test_demo_field_native_resolution():
+    from test_demo_field import _demo_field_points
+
+    from aosx.config import EXCLUSION_DISCS, HARDCODED_POLYGON
+    from aosx.types import PointCloud, Polygon
+
+    NS = NATIVE_STATICS
+    xyz = _demo_field_points(seed=3)
+    npts = xyz.shape[0]
+    assert npts <= NS.max_points
+    buf = np.zeros((NS.max_points, 3), np.float32)
+    buf[:npts] = xyz
+    pc = PointCloud(xyz=jnp.asarray(buf), valid=jnp.arange(NS.max_points) < npts)
+    poly = Polygon.from_array(HARDCODED_POLYGON.astype(np.float32), NS)
+    excl = np.zeros((NS.max_exclusions, 3), np.float32)
+    excl[: len(EXCLUSION_DISCS)] = EXCLUSION_DISCS
+    params = params_as_f32(AosParams())
+
+    w = jax.jit(
+        lambda pc, poly, pr, ex: engine.prepare_world(
+            pc, poly, pr, ex, NS, ror_method="exact")
+    )(pc, poly, params, jnp.asarray(excl))
+
+    # native-resolution live region ~= the reference's 1540 x 460
+    assert 1400 <= int(w.skeleton.w_cells) <= NS.grid_w
+    assert 280 <= int(w.skeleton.h_cells) <= NS.grid_h
+    assert int(w.graph.num_nodes) > 20
+    assert int(w.graph.num_edges) > 20
+    assert int(w.waypoints.count) >= 4
+    assert int(w.guards) == 0
+
+    st0 = engine.initial_state(w, NS)
+    st1, m = jax.jit(lambda st, w, p: engine.step(st, w, p, NS))(
+        st0, w, params)
+    assert int(m["plan_len"]) > 0
+    assert STATUS_STRINGS[int(m["status"])] == "Success"
