@@ -79,6 +79,11 @@ class Statics:
     astar_k: int = 5                   # candidate start nodes (k-nearest)
     max_segments: int = 10             # linearization max segments (long dist)
 
+    # Incremental map update (aosx.incremental): cap on NEW points per frame
+    # handled by the O(N*D) delta-ROR cross pass; a larger delta falls back
+    # to the exact from-scratch pass inside the same jit.
+    max_delta_points: int = 8192
+
     # Static raycast reach for virtual-seed rays (shape-determining:
     # sets the fori_loop trip count; reference hardcodes 4.0 m,
     # aos_seed_gen_node.cpp:2093)
@@ -137,6 +142,7 @@ TEST_STATICS = Statics(
     max_waypoints=20,
     max_path=64,
     max_plan=2048,
+    max_delta_points=1024,
     jfa_dynamic_shifts=True,
 )
 
@@ -158,6 +164,7 @@ DRYRUN_STATICS = Statics(
     max_waypoints=12,
     max_path=64,
     max_plan=1024,
+    max_delta_points=128,
     skeleton_max_iters=32,
     jfa_dynamic_shifts=True,  # dry runs happen on CPU devices
 )

@@ -1,0 +1,309 @@
+"""Exact incremental map update (the round-3 structural reformulation).
+
+The reference recomputes the ENTIRE perceive -> GVD -> plan world from
+scratch on every map callback (aos_gvd_node.cpp:152-177 re-runs processGraph
+on any input change; aos_seed_gen_node.cpp:230-248 re-runs the full
+perception chain per /lio_sam/mapping/global_map message) even though a
+growing SLAM map is append-only and mostly re-observes the same trees.
+
+This module exploits three exact structural facts:
+
+1. ROR neighbor counts are MONOTONE under append-only deltas:
+     cnt_f[i] = cnt_{f-1}[i] + |{j in delta : d(i,j) <= r}|
+   so one O(N*D) cross pass replaces the O(N^2) pass (points.ror_counts),
+   and the keep mask can only gain points (cnt only grows, the static
+   clip/exclusion filters are per-point).
+2. Disc dilation distributes over union, and the raw scatter grid is cheap
+   (O(N) scatter), so the inflated plane is recomputed exactly in ~1 ms.
+3. Everything downstream of the skeleton - clustering, rows, seeds, GVD
+   graph, cost matrix, waypoints, trim plane - is a pure function of
+   (skeleton, polygon, params). Equality gates therefore give EXACT reuse:
+     inflated unchanged  -> reuse the whole previous World   (level 0)
+     skeleton unchanged  -> reuse rows/seeds/graph/costmat/wp (level 1)
+     else                -> recompute downstream              (level 2)
+   plus a from-scratch fallback (level 3) when the append-only contract is
+   violated (points removed or moved - e.g. a SLAM loop-closure
+   re-optimization) or the delta exceeds max_delta_points.
+
+All four levels produce BIT-IDENTICAL results to the from-scratch
+prepare_world_full (tests/test_incremental.py pins this): the gates compare
+full planes for equality, and the delta ROR computes the same f32 d2 values
+as points.ror_counts(method='exact') pairwise ((a-b)^2 == (b-a)^2 in IEEE,
+same last-axis reduction order), so every count, mask and grid matches
+exactly. There are no approximations to guard.
+
+Contract (mirrors an index-stable SLAM feed): across updates the caller
+keeps poly/params/exclusions fixed, and previously-valid buffer slots keep
+their coordinates; new points appear in previously-invalid slots. Violations
+are DETECTED in-jit and handled by the exact fallback, so the contract is
+about speed, not correctness.
+
+Everything runs inside one jit; the gates are lax.cond, which on the
+single-instance replay path executes only the taken branch. Do NOT vmap
+perceive_update (a vmapped cond executes both branches - CLAUDE.md); the
+Monte-Carlo batch path builds static worlds once and does not need it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .config import AosParams, Statics
+from .engine import World
+from .geom import active_bounds
+from .gvd import build_gvd_graph
+from .perceive import points as _points
+from .perceive import raster as _raster
+from .perceive import rows as _rows
+from .perceive import seeds as _seeds
+from .perceive import skeleton as _skeleton
+from .perceive.pipeline import PerceiveOut
+from .plan.astar import cost_matrix
+from .plan.mission import build_waypoints, trim_dilated_plane
+from .types import PointCloud, Polygon
+
+
+def _dc(cls):
+    return jax.tree_util.register_dataclass(dataclasses.dataclass(frozen=True)(cls))
+
+
+@_dc
+class IncrementalState:
+    """Carried across map frames. xyz/valid are the raw point buffer as last
+    seen (valid is post-isfinite - the set the stored ROR counts cover);
+    cnt/keep are the preprocessing intermediates the delta pass updates;
+    inflated is the pre-border dilated grid (the level-0 gate plane)."""
+
+    xyz: Any        # [N,3] f32
+    valid: Any      # [N] bool (post-isfinite)
+    cnt: Any        # [N] i32 ROR neighbor counts (meaningful where valid)
+    keep: Any       # [N] bool final preprocess keep mask
+    inflated: Any   # GridWorld (dilated, pre-borders)
+    out: Any        # PerceiveOut
+    world: Any      # engine.World
+
+
+# update levels (returned for observability / tests / metrics)
+LEVEL_REUSE_WORLD = 0    # inflated plane unchanged: full exact reuse
+LEVEL_REUSE_DOWNSTREAM = 1  # skeleton unchanged: graph/plan reuse
+LEVEL_DOWNSTREAM = 2     # skeleton changed: recompute clusters..waypoints
+LEVEL_FULL = 3           # contract violated / delta overflow: from scratch
+
+
+def _downstream(skel, inflated, poly, params: AosParams, s: Statics,
+                base_guards):
+    """The perceive tail + graph build, identical to
+    perceive.pipeline.perceive (clusters..skeleton_pub) composed with
+    engine.prepare_world_full (graph/costmat/waypoints/trim)."""
+    occupancy = _raster.mark_borders(inflated)
+    clusters = _rows.cluster_grid(skel, poly, params, s)
+    rows = _rows.rows_from_clusters(clusters, skel, poly, params, s)
+    rows_sorted = _rows.sort_rows(rows)
+    seeds = _seeds.generate_seeds(rows, skel, poly, params, s)
+    skeleton_pub = _raster.mark_polygon_rect(skel, poly, params.polygon_margin, s)
+    out = PerceiveOut(
+        occupancy=occupancy,
+        skeleton=skel,
+        skeleton_pub=skeleton_pub,
+        rows=rows,
+        rows_sorted=rows_sorted,
+        seeds=seeds,
+        guards=base_guards | clusters["guards"],
+    )
+    graph = build_gvd_graph(seeds, rows_sorted, skel, params, s)
+    world = World(
+        skeleton=skel,
+        occupancy=occupancy,
+        graph=graph,
+        costmat=cost_matrix(graph, s),
+        waypoints=build_waypoints(graph, params, s),
+        guards=out.guards | graph.guards,
+        trim_skel=trim_dilated_plane(skel, s),
+    )
+    return out, world
+
+
+def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
+                  exclusions, s: Statics, *,
+                  ror_method: str = "exact") -> IncrementalState:
+    """Full from-scratch pass, keeping the incremental intermediates."""
+    xy, keep, cnt, valid, bounds, guards = _points.preprocess_full(
+        pc, poly, params, exclusions, s, ror_method=ror_method)
+    grid = _raster.generate_grid(xy, keep, bounds, s)
+    inflated = _raster.inflate(grid, s)
+    skel = _skeleton.skeletonize(inflated, s)
+    out, world = _downstream(skel, inflated, poly, params, s, guards)
+    return IncrementalState(
+        xyz=pc.xyz, valid=valid, cnt=cnt, keep=keep,
+        inflated=inflated, out=out, world=world,
+    )
+
+
+def _cross_counts(all_pts, all_valid, dpts, dvalid, r2, block: int = 512):
+    """Counts of within-radius pairs between the delta set and the full set.
+
+    Returns (cnt_delta [D]: per delta point, matches against ALL valid
+    points incl. itself; contrib [N]: per full-buffer point, matches against
+    valid delta points). d2 is the same f32 elementwise formula as
+    points.ror_counts(method='exact'), so the <= r2 decisions are identical."""
+    N = all_pts.shape[0]
+    block = min(block, N)
+    nblk = N // block
+    assert nblk * block == N, "max_points must be a multiple of the block"
+
+    valid_f = all_valid
+    dmask = dvalid[:, None]
+
+    def body(cnt_d, j):
+        cols = jax.lax.dynamic_slice(all_pts, (j * block, 0), (block, 3))
+        cval = jax.lax.dynamic_slice(valid_f, (j * block,), (block,))
+        diff = dpts[:, None, :] - cols[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)          # [D, block]
+        hit = (d2 <= r2) & dmask & cval[None, :]
+        return cnt_d + jnp.sum(hit, axis=1), jnp.sum(hit.astype(jnp.int32), axis=0)
+
+    cnt_delta, contrib_chunks = jax.lax.scan(
+        body, jnp.zeros((dpts.shape[0],), jnp.int32), jnp.arange(nblk))
+    return cnt_delta, contrib_chunks.reshape(-1)
+
+
+def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
+                    params: AosParams, exclusions, s: Statics, *,
+                    ror_method: str = "exact"):
+    """One incremental map frame. Returns (new state, level i32).
+
+    pc is the FULL current snapshot (index-stable buffer, see module
+    docstring); the delta is recovered by mask diff against the carried
+    state. Results are bit-identical to perceive_init on the same frame at
+    every level."""
+    N = st.xyz.shape[0]
+    D = s.max_delta_points
+    xyz_new = pc.xyz
+    valid_new = pc.valid & jnp.all(jnp.isfinite(xyz_new), axis=1)
+
+    removed = jnp.any(st.valid & ~valid_new)
+    moved = jnp.any(st.valid[:, None] & (xyz_new != st.xyz))
+    delta_mask = valid_new & ~st.valid
+    dcount = jnp.sum(delta_mask.astype(jnp.int32))
+    needs_full = removed | moved | (dcount > D)
+
+    def full_branch(st):
+        return perceive_init(pc, poly, params, exclusions, s,
+                             ror_method=ror_method), jnp.int32(LEVEL_FULL)
+
+    def delta_branch(st):
+        # compact the delta into [D] slots (overflow went to full_branch)
+        pos = jnp.cumsum(delta_mask.astype(jnp.int32)) - 1
+        slot = jnp.where(delta_mask & (pos < D), pos, D)
+        dpts = jnp.zeros((D, 3), jnp.float32).at[slot].set(xyz_new, mode="drop")
+        dpos = jnp.full((D,), N, jnp.int32).at[slot].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")
+        dvalid = jnp.arange(D) < dcount
+
+        r2 = jnp.asarray(params.ror_radius, jnp.float32) ** 2
+        cnt_delta, contrib = _cross_counts(xyz_new, valid_new, dpts, dvalid, r2)
+        # old points gain the delta neighbors; delta points get their full
+        # count (cnt_delta includes self at d2=0 -> minus 1)
+        cnt = st.cnt + contrib
+        cnt = cnt.at[dpos].set(cnt_delta - 1, mode="drop")
+
+        bounds = active_bounds(
+            poly,
+            (params.clipping_minx, params.clipping_maxx,
+             params.clipping_miny, params.clipping_maxy),
+            params.polygon_margin,
+        )
+        keep = valid_new & (cnt >= params.ror_min_neighbors)
+        keep &= _points.static_keep_mask(xyz_new, params, exclusions, bounds)
+
+        grid = _raster.generate_grid(xyz_new[:, :2], keep, bounds, s)
+        inflated = _raster.inflate(grid, s)
+        changed = jnp.any(inflated.occ != st.inflated.occ)
+
+        carried = IncrementalState(
+            xyz=xyz_new, valid=valid_new, cnt=cnt, keep=keep,
+            inflated=inflated, out=st.out, world=st.world,
+        )
+
+        def unchanged_branch(c):
+            return c, jnp.int32(LEVEL_REUSE_WORLD)
+
+        def changed_branch(c):
+            skel = _skeleton.skeletonize(inflated, s)
+            skel_same = jnp.all(skel.occ == c.out.skeleton.occ)
+
+            def reuse_down(c):
+                # skeleton identical: graph/plan unchanged, but the inflated
+                # occupancy plane DID change -> refresh it everywhere it rides
+                occupancy = _raster.mark_borders(inflated)
+                out = dataclasses.replace(c.out, occupancy=occupancy)
+                world = dataclasses.replace(c.world, occupancy=occupancy)
+                return (
+                    dataclasses.replace(c, out=out, world=world),
+                    jnp.int32(LEVEL_REUSE_DOWNSTREAM),
+                )
+
+            def recompute_down(c):
+                # carry the preprocess-era guard bits (e.g. GUARD_ROR_SPAN
+                # from init); the delta pass itself is exact
+                base_guards = c.out.guards
+                out, world = _downstream(skel, inflated, poly, params, s,
+                                         base_guards)
+                return (
+                    dataclasses.replace(c, out=out, world=world),
+                    jnp.int32(LEVEL_DOWNSTREAM),
+                )
+
+            return jax.lax.cond(skel_same, reuse_down, recompute_down, c)
+
+        return jax.lax.cond(changed, changed_branch, unchanged_branch, carried)
+
+    return jax.lax.cond(needs_full, full_branch, delta_branch, st)
+
+
+def replay_episode_incremental(
+    pc_frames: PointCloud,  # stacked [F, ...] snapshots (growing SLAM map)
+    poly: Polygon,
+    params: AosParams,
+    exclusions,
+    s: Statics,
+    steps_per_frame: int,
+    *,
+    ror_method: str = "exact",
+):
+    """Drop-in replacement for engine.replay_episode that reuses unchanged
+    work across frames. Same mission semantics (target restoration across
+    rebuilds, aos_path_gen_node.cpp:456-560); per-frame metrics additionally
+    carry `inc_level`, the update level taken ([F] i32)."""
+    from .engine import EngineState, initial_state, step
+    from .plan.mission import rebuild_waypoints
+
+    inc0 = perceive_init(
+        jax.tree_util.tree_map(lambda x: x[0], pc_frames), poly, params,
+        exclusions, s, ror_method=ror_method)
+    st0 = initial_state(inc0.world, s)
+
+    def frame_body(carry, pc_f):
+        inc, st = carry
+        inc, level = perceive_update(inc, pc_f, poly, params, exclusions, s,
+                                     ror_method=ror_method)
+        mission, wp = rebuild_waypoints(st.mission, st.wp, inc.world.graph,
+                                        params, s)
+        st = EngineState(
+            robot=st.robot, mission=mission, control=st.control, wp=wp,
+            plan=st.plan, raw_path=st.raw_path, last_mod=st.last_mod, t=st.t,
+        )
+
+        def tick(st, _):
+            return step(st, inc.world, params, s)
+
+        st, metrics = jax.lax.scan(tick, st, None, length=steps_per_frame)
+        metrics["inc_level"] = level
+        return (inc, st), metrics
+
+    (inc, st), metrics = jax.lax.scan(frame_body, (inc0, st0), pc_frames)
+    return st, metrics

@@ -149,7 +149,22 @@ def _ror_counts_sorted(pts, n, r2, W: int = 2048):
     return cnt[:n], violated
 
 
-def preprocess(
+def static_keep_mask(xyz, params: AosParams, exclusions, bounds):
+    """The per-point filters that do NOT depend on other points: PassThrough
+    z / x / y against the active bounds + exclusion discs
+    (aos_seed_gen_node.cpp:452-525). Factored out so the incremental map
+    update (aosx.incremental) applies literally the same predicate."""
+    minx, maxx, miny, maxy = bounds
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    m = (z >= params.clipping_minz) & (z <= params.clipping_maxz)
+    m &= (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+    ex = jnp.asarray(exclusions, jnp.float32)
+    d2 = (x[:, None] - ex[None, :, 0]) ** 2 + (y[:, None] - ex[None, :, 1]) ** 2
+    inside_excl = jnp.any((d2 <= ex[None, :, 2] ** 2) & (ex[None, :, 2] > 0), axis=1)
+    return m & ~inside_excl
+
+
+def preprocess_full(
     pc: PointCloud,
     poly: Polygon,
     params: AosParams,
@@ -158,8 +173,9 @@ def preprocess(
     *,
     ror_method: str = "exact",
 ):
-    """Full preprocessing: returns (xy [N,2], keep-mask [N], bounds tuple,
-    guards i32 bitmask - see aosx.guards).
+    """Full preprocessing, exposing the intermediates the incremental path
+    carries: returns (xy [N,2], keep [N], cnt [N] i32 ROR neighbor counts,
+    valid [N] post-isfinite, bounds tuple, guards i32 bitmask).
 
     Steps (aos_seed_gen_node.cpp:230-538): ROR (r=0.2, >=2 neighbors), then
     PassThrough z / x / y against the active bounds, exclusion discs
@@ -180,17 +196,25 @@ def preprocess(
         (params.clipping_minx, params.clipping_maxx, params.clipping_miny, params.clipping_maxy),
         params.polygon_margin,
     )
-    minx, maxx, miny, maxy = bounds
-    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
-    keep &= (z >= params.clipping_minz) & (z <= params.clipping_maxz)
-    keep &= (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
-
-    ex = jnp.asarray(exclusions, jnp.float32)
-    d2 = (x[:, None] - ex[None, :, 0]) ** 2 + (y[:, None] - ex[None, :, 1]) ** 2
-    inside_excl = jnp.any((d2 <= ex[None, :, 2] ** 2) & (ex[None, :, 2] > 0), axis=1)
-    keep &= ~inside_excl
+    keep &= static_keep_mask(xyz, params, exclusions, bounds)
 
     from ..guards import GUARD_ROR_SPAN
 
     guards = jnp.where(ror_span_violated, jnp.int32(GUARD_ROR_SPAN), 0)
-    return xyz[:, :2], keep, bounds, guards
+    return xyz[:, :2], keep, cnt, valid, bounds, guards
+
+
+def preprocess(
+    pc: PointCloud,
+    poly: Polygon,
+    params: AosParams,
+    exclusions,
+    s: Statics,
+    *,
+    ror_method: str = "exact",
+):
+    """Full preprocessing: returns (xy [N,2], keep-mask [N], bounds tuple,
+    guards i32 bitmask - see aosx.guards)."""
+    xy, keep, _, _, bounds, guards = preprocess_full(
+        pc, poly, params, exclusions, s, ror_method=ror_method)
+    return xy, keep, bounds, guards

@@ -1,0 +1,207 @@
+"""Incremental map update (aosx.incremental): bit-parity against the
+from-scratch pass at every update level, gate selection, and contract
+violation fallbacks. The reference recomputes everything per map callback
+(aos_gvd_node.cpp:152-177); the incremental path must be indistinguishable
+from doing the same."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx import engine, incremental
+from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
+from aosx.orchards import OrchardSpec, make_orchard_np
+from aosx.types import PointCloud, Polygon
+
+
+def _frames(fracs, seed=5, spec=None):
+    spec = spec or OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
+    xyz, poly = make_orchard_np(spec, seed=seed)
+    rng = np.random.default_rng(0)
+    xyz = xyz[rng.permutation(len(xyz))]
+    bufs = np.zeros((len(fracs), S.max_points, 3), np.float32)
+    valids = np.zeros((len(fracs), S.max_points), bool)
+    for f, frac in enumerate(fracs):
+        n = int(len(xyz) * frac)
+        bufs[f, :n] = xyz[:n]
+        valids[f, :n] = True
+    return bufs, valids, poly
+
+
+def _assert_world_equal(wa, wb):
+    la = jax.tree_util.tree_leaves(wa)
+    lb = jax.tree_util.tree_leaves(wb)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape and a.dtype == b.dtype
+        if np.issubdtype(a.dtype, np.floating):
+            assert np.array_equal(a, b, equal_nan=True), "float leaf mismatch"
+        else:
+            assert np.array_equal(a, b), "leaf mismatch"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bufs, valids, poly = _frames([0.55, 0.8, 1.0])
+    poly_j = Polygon.from_array(poly.astype(np.float32), S)
+    params = params_as_f32(AosParams())
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    return bufs, valids, poly_j, params, excl
+
+
+def _pc(bufs, valids, f):
+    return PointCloud(xyz=jnp.asarray(bufs[f]), valid=jnp.asarray(valids[f]))
+
+
+def test_incremental_parity_growing_map(setup):
+    """Each updated state is bit-identical to a from-scratch pass on the
+    same frame, across growing-map frames that change the skeleton."""
+    bufs, valids, poly_j, params, excl = setup
+
+    init = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )
+    upd = jax.jit(
+        lambda st, pc: incremental.perceive_update(st, pc, poly_j, params, excl, S),
+    )
+    scratch = jax.jit(
+        lambda pc: engine.prepare_world_full(pc, poly_j, params, excl, S,
+                                             ror_method="exact")[:2],
+    )
+
+    st = init(_pc(bufs, valids, 0))
+    levels = []
+    for f in range(3):
+        st, level = upd(st, _pc(bufs, valids, f))
+        levels.append(int(level))
+        world_ref, out_ref = scratch(_pc(bufs, valids, f))
+        _assert_world_equal(st.world, world_ref)
+        _assert_world_equal(st.out, out_ref)
+        # carried preprocess intermediates match a fresh pass (valid lanes)
+        from aosx.perceive.points import preprocess_full
+        _, keep_ref, cnt_ref, valid_ref, _, _ = jax.jit(
+            lambda pc: preprocess_full(pc, poly_j, params, excl, S)
+        )(_pc(bufs, valids, f))
+        assert np.array_equal(np.asarray(st.keep), np.asarray(keep_ref))
+        v = np.asarray(valid_ref)
+        assert np.array_equal(np.asarray(st.cnt)[v], np.asarray(cnt_ref)[v])
+
+    # frame 0 re-fed is a no-op delta -> full reuse; later frames add rows
+    assert levels[0] == incremental.LEVEL_REUSE_WORLD
+    assert all(
+        l in (incremental.LEVEL_DOWNSTREAM, incremental.LEVEL_REUSE_DOWNSTREAM,
+              incremental.LEVEL_REUSE_WORLD)
+        for l in levels[1:]
+    )
+    # a 45% -> 100% growth must change the skeleton at least once
+    assert incremental.LEVEL_DOWNSTREAM in levels[1:]
+
+
+def test_incremental_densify_reuses_world(setup):
+    """Adding points that land in already-occupied cells leaves the
+    inflated plane unchanged -> level 0 full reuse, still bit-exact."""
+    bufs, valids, poly_j, params, excl = setup
+    st = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )(_pc(bufs, valids, 2))
+
+    # densify: copy a block of existing valid points (exact duplicates ->
+    # same cells, ROR counts grow) into free slots
+    n_valid = int(valids[2].sum())
+    extra = min(200, S.max_points - n_valid)
+    bufs2 = bufs[2].copy()
+    valids2 = valids[2].copy()
+    bufs2[n_valid:n_valid + extra] = bufs[2][:extra]
+    valids2[n_valid:n_valid + extra] = True
+    pc2 = PointCloud(xyz=jnp.asarray(bufs2), valid=jnp.asarray(valids2))
+
+    st2, level = jax.jit(
+        lambda st, pc: incremental.perceive_update(st, pc, poly_j, params, excl, S),
+    )(st, pc2)
+    assert int(level) == incremental.LEVEL_REUSE_WORLD
+    world_ref, out_ref = jax.jit(
+        lambda pc: engine.prepare_world_full(pc, poly_j, params, excl, S,
+                                             ror_method="exact")[:2],
+    )(pc2)
+    _assert_world_equal(st2.world, world_ref)
+    _assert_world_equal(st2.out, out_ref)
+
+
+def test_incremental_contract_violations_fall_back(setup):
+    """Removed or moved points (SLAM loop closure) and delta overflow are
+    detected in-jit and take the exact from-scratch fallback."""
+    bufs, valids, poly_j, params, excl = setup
+    init = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )
+    upd = jax.jit(
+        lambda st, pc: incremental.perceive_update(st, pc, poly_j, params, excl, S),
+    )
+    st = init(_pc(bufs, valids, 1))
+
+    # (a) removal: drop one valid point
+    valids_rm = valids[1].copy()
+    first = int(np.flatnonzero(valids_rm)[0])
+    valids_rm[first] = False
+    st_rm, level = upd(st, PointCloud(xyz=jnp.asarray(bufs[1]),
+                                      valid=jnp.asarray(valids_rm)))
+    assert int(level) == incremental.LEVEL_FULL
+    world_ref, _ = jax.jit(
+        lambda pc: engine.prepare_world_full(pc, poly_j, params, excl, S,
+                                             ror_method="exact")[:2],
+    )(PointCloud(xyz=jnp.asarray(bufs[1]), valid=jnp.asarray(valids_rm)))
+    _assert_world_equal(st_rm.world, world_ref)
+
+    # (b) moved: perturb one valid point's coordinates
+    bufs_mv = bufs[1].copy()
+    bufs_mv[first, 0] += 0.25
+    _, level = upd(st, PointCloud(xyz=jnp.asarray(bufs_mv),
+                                  valid=jnp.asarray(valids[1])))
+    assert int(level) == incremental.LEVEL_FULL
+
+    # (c) delta overflow: more than max_delta_points new points
+    assert S.max_points - valids[1].sum() > S.max_delta_points, \
+        "test needs headroom"
+    bufs_of = bufs[1].copy()
+    valids_of = valids[1].copy()
+    n_valid = int(valids[1].sum())
+    extra = S.max_delta_points + 1
+    bufs_of[n_valid:n_valid + extra] = bufs[1][0] + np.linspace(
+        0, 0.5, extra, dtype=np.float32)[:, None] * np.float32([0.0, 1.0, 0.0])
+    valids_of[n_valid:n_valid + extra] = True
+    _, level = upd(st, PointCloud(xyz=jnp.asarray(bufs_of),
+                                  valid=jnp.asarray(valids_of)))
+    assert int(level) == incremental.LEVEL_FULL
+
+
+@pytest.mark.slow
+def test_replay_incremental_matches_full_replay(setup):
+    """replay_episode_incremental reproduces engine.replay_episode's
+    closed-loop behavior exactly on a growing map (same worlds at every
+    frame -> same metrics), and completes the mission."""
+    bufs, valids, poly_j, params, excl = setup
+    frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
+
+    run_inc = jax.jit(
+        lambda fr: incremental.replay_episode_incremental(
+            fr, poly_j, params, excl, S, steps_per_frame=1100,
+            ror_method="exact"),
+    )
+    final_i, metrics_i = run_inc(frames)
+    run_full = jax.jit(
+        lambda fr: engine.replay_episode(
+            fr, poly_j, params, excl, S, steps_per_frame=1100,
+            ror_method="exact"),
+    )
+    final_f, metrics_f = run_full(frames)
+
+    lv = metrics_i.pop("inc_level")
+    for k in metrics_f:
+        assert np.array_equal(
+            np.asarray(metrics_i[k]), np.asarray(metrics_f[k])), k
+    _assert_world_equal(final_i, final_f)
+    assert bool(np.asarray(final_i.mission.exploration_completed))
+    # at least one frame actually reused work
+    assert int(np.asarray(lv)[0]) == incremental.LEVEL_REUSE_WORLD
