@@ -88,7 +88,8 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
     (see perceive.pipeline)."""
     out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method,
                    stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
-    graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s)
+    graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s,
+                            stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
     costmat = cost_matrix(graph, s)
     wp = build_waypoints(graph, params, s)
     owner = None

@@ -702,14 +702,24 @@ def build_gvd_graph(
     s: Statics,
     *,
     compute_clearances: bool = False,
+    stencil_mesh=None,
+    stencil_axis: str = "space",
 ) -> GvdGraph:
     """processGraph (cpp:255-318) as one jitted function.
 
     compute_clearances: the reference always publishes edge_clearances = 0
     (aos_gvd_node.cpp:856); True computes real min-obstacle distances
-    (extension; see gvd/clearance.py)."""
+    (extension; see gvd/clearance.py).
+    stencil_mesh: optional Mesh - run the JFA ownership field row-sharded
+    across chips (parallel/spatial.jump_flood_sharded, bit-identical);
+    the sparse graph stages stay replicated (spatial.py docstring)."""
     merged = merge_seeds(seeds, params, s)
-    owner = jump_flood(skel, merged, s)
+    if stencil_mesh is not None:
+        from ..parallel.spatial import jump_flood_sharded
+
+        owner = jump_flood_sharded(skel, merged, s, stencil_mesh, stencil_axis)
+    else:
+        owner = jump_flood(skel, merged, s)
     pos, owners, node_valid = extract_vertices(skel, owner, s)
     ea, eb, ev, lengths, n_edges, edge_guards = build_edges(
         pos, owners, node_valid, skel, merged, params, s

@@ -41,6 +41,66 @@ def _passes(s: Statics):
     return steps
 
 
+INF = jnp.float32(3.4e38)
+
+
+def _jfa_init(grid: GridWorld, seeds: SeedSet, s: Statics):
+    """Seed scatter -> (owner [H,W] i32 with S = no-owner, ox, oy planes).
+
+    Position planes: every non-seed cell has owner == S here, so instead of
+    the dense table gather seeds_x[owner] (2 x 4M elements ~= 54 ms on the
+    v5e - XLA:TPU gathers are ~10 ns/element) gather the winning owner PER
+    SEED (S elements) and scatter into the planes. Seeds sharing a cell all
+    write the same winner's coordinates, so the duplicate scatter is
+    deterministic; the result is bit-identical to the dense gather."""
+    h, w = grid.occ.shape
+    res = jnp.float32(s.resolution)
+    S = seeds.xy.shape[0]
+
+    # init: scatter seeds into their containing cells (min seed idx on ties)
+    sx = jnp.clip(
+        jnp.floor((seeds.xy[:, 0] - grid.origin_x) / res).astype(jnp.int32),
+        0, grid.w_cells - 1)
+    sy = jnp.clip(
+        jnp.floor((seeds.xy[:, 1] - grid.origin_y) / res).astype(jnp.int32),
+        0, grid.h_cells - 1)
+    sidx = jnp.where(seeds.valid, jnp.arange(S, dtype=jnp.int32), S)
+    owner = jnp.full((h, w), S, jnp.int32).at[sy, sx].min(sidx, mode="drop")
+
+    seeds_x = jnp.concatenate([seeds.xy[:, 0], jnp.array([1e9], jnp.float32)])
+    seeds_y = jnp.concatenate([seeds.xy[:, 1], jnp.array([1e9], jnp.float32)])
+    win = owner[sy, sx]                       # [S] owner at each seed's cell
+    ox = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_x[win], mode="drop")
+    oy = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_y[win], mode="drop")
+    return owner, ox, oy
+
+
+def jacobi_fold(o0, x0, y0, neighbors, S: int, cellx, celly):
+    """One Jacobi JFA update: fold the 8 pass-start neighbor triples
+    (owner, x, y) into the state with a lexicographic (d2, owner) min.
+    Order-independent (ties break on the smaller owner index); shared
+    VERBATIM by every lowering - static unroll, dynamic fori+roll, and the
+    row-sharded shard_map path (parallel/spatial.jump_flood_sharded) - so
+    their owner fields are bit-identical. Neighbor x/y values at cells
+    whose owner == S never propagate (their distance is forced to INF and
+    the owner tie-break can't pick them), so shift fill values for the
+    position planes are arbitrary."""
+
+    def dist2(px, py):
+        return (px - cellx) ** 2 + (py - celly) ** 2
+
+    d0 = jnp.where(o0 < S, dist2(x0, y0), INF)
+    o, x, y, d2 = o0, x0, y0, d0
+    for no, nx, ny in neighbors:
+        nd = jnp.where(no < S, dist2(nx, ny), INF)
+        better = (nd < d2) | ((nd == d2) & (no < o))
+        o = jnp.where(better, no, o)
+        x = jnp.where(better, nx, x)
+        y = jnp.where(better, ny, y)
+        d2 = jnp.where(better, nd, d2)
+    return o, x, y
+
+
 def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
     """Nearest-seed ownership over the live region.
 
@@ -57,30 +117,7 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
     cellx = grid.origin_x + ix.astype(jnp.float32) * res
     celly = grid.origin_y + iy.astype(jnp.float32) * res
 
-    # init: scatter seeds into their containing cells (min seed idx on ties)
-    sx = jnp.clip(
-        jnp.floor((seeds.xy[:, 0] - grid.origin_x) / res).astype(jnp.int32),
-        0, grid.w_cells - 1)
-    sy = jnp.clip(
-        jnp.floor((seeds.xy[:, 1] - grid.origin_y) / res).astype(jnp.int32),
-        0, grid.h_cells - 1)
-    sidx = jnp.where(seeds.valid, jnp.arange(S, dtype=jnp.int32), S)
-    owner = jnp.full((h, w), S, jnp.int32).at[sy, sx].min(sidx, mode="drop")
-
-    # Position planes: every non-seed cell has owner == S here, so instead of
-    # the dense table gather seeds_x[owner] (2 x 4M elements ~= 54 ms on the
-    # v5e - XLA:TPU gathers are ~10 ns/element) gather the winning owner PER
-    # SEED (S elements) and scatter into the planes. Seeds sharing a cell all
-    # write the same winner's coordinates, so the duplicate scatter is
-    # deterministic; the result is bit-identical to the dense gather.
-    seeds_x = jnp.concatenate([seeds.xy[:, 0], jnp.array([1e9], jnp.float32)])
-    seeds_y = jnp.concatenate([seeds.xy[:, 1], jnp.array([1e9], jnp.float32)])
-    win = owner[sy, sx]                       # [S] owner at each seed's cell
-    ox = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_x[win], mode="drop")
-    oy = jnp.full((h, w), 1e9, jnp.float32).at[sy, sx].set(seeds_y[win], mode="drop")
-
-    def dist2(px, py):
-        return (px - cellx) ** 2 + (py - celly) ** 2
+    owner, ox, oy = _jfa_init(grid, seeds, s)
 
     # Every lowering implements the same JACOBI pass: all 8 directional
     # candidates are read from the PASS-START planes and folded with a
@@ -91,23 +128,15 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
     # impossible. Jacobi keeps the halo = step and lets all three lowerings
     # - static unroll, dynamic fori+roll, Pallas banded - be bit-identical;
     # validated on the v5e.)
-    INF = jnp.float32(3.4e38)
 
     def jacobi_pass(o0, x0, y0, shifter):
-        d0 = jnp.where(o0 < S, dist2(x0, y0), INF)
-        o, x, y, d2 = o0, x0, y0, d0
-        for dys in (-1, 0, 1):
-            for dxs in (-1, 0, 1):
-                if dys == 0 and dxs == 0:
-                    continue
-                no, nx, ny = shifter(o0, x0, y0, dys, dxs)
-                nd = jnp.where(no < S, dist2(nx, ny), INF)
-                better = (nd < d2) | ((nd == d2) & (no < o))
-                o = jnp.where(better, no, o)
-                x = jnp.where(better, nx, x)
-                y = jnp.where(better, ny, y)
-                d2 = jnp.where(better, nd, d2)
-        return o, x, y
+        neighbors = [
+            shifter(o0, x0, y0, dys, dxs)
+            for dys in (-1, 0, 1)
+            for dxs in (-1, 0, 1)
+            if not (dys == 0 and dxs == 0)
+        ]
+        return jacobi_fold(o0, x0, y0, neighbors, S, cellx, celly)
 
     def shift_fill_s(a, dy: int, dx: int):
         out = a

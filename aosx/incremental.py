@@ -143,32 +143,55 @@ def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
     )
 
 
-def _cross_counts(all_pts, all_valid, dpts, dvalid, r2, block: int = 512):
+def _cross_counts(all_pts, all_valid, dpts, dvalid, dcount, r2,
+                  block: int = 512, dchunk: int = 1024):
     """Counts of within-radius pairs between the delta set and the full set.
 
     Returns (cnt_delta [D]: per delta point, matches against ALL valid
     points incl. itself; contrib [N]: per full-buffer point, matches against
     valid delta points). d2 is the same f32 elementwise formula as
-    points.ror_counts(method='exact'), so the <= r2 decisions are identical."""
+    points.ror_counts(method='exact'), so the <= r2 decisions are identical.
+
+    Cost scales with the ACTUAL delta: the outer while_loop visits only
+    ceil(dcount/dchunk) delta chunks (a frame with few new points pays for
+    one chunk, not all D slots). Invalid rows inside a visited chunk are
+    masked; rows in unvisited chunks keep count 0, exactly what the masked
+    full pass produced for them. All accumulations are integer, so chunk
+    order cannot change any value. Single-instance path only - do NOT vmap
+    (module docstring)."""
     N = all_pts.shape[0]
+    D = dpts.shape[0]
     block = min(block, N)
     nblk = N // block
     assert nblk * block == N, "max_points must be a multiple of the block"
+    dchunk = min(dchunk, D)
+    assert D % dchunk == 0, "max_delta_points must be a multiple of dchunk"
+    nchunks = (dcount + dchunk - 1) // dchunk
 
-    valid_f = all_valid
-    dmask = dvalid[:, None]
+    def chunk_body(state):
+        c, cnt_d, contrib = state
+        rows = jax.lax.dynamic_slice(dpts, (c * dchunk, 0), (dchunk, 3))
+        rmask = jax.lax.dynamic_slice(dvalid, (c * dchunk,), (dchunk,))
 
-    def body(cnt_d, j):
-        cols = jax.lax.dynamic_slice(all_pts, (j * block, 0), (block, 3))
-        cval = jax.lax.dynamic_slice(valid_f, (j * block,), (block,))
-        diff = dpts[:, None, :] - cols[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)          # [D, block]
-        hit = (d2 <= r2) & dmask & cval[None, :]
-        return cnt_d + jnp.sum(hit, axis=1), jnp.sum(hit.astype(jnp.int32), axis=0)
+        def body(cnt_c, j):
+            cols = jax.lax.dynamic_slice(all_pts, (j * block, 0), (block, 3))
+            cval = jax.lax.dynamic_slice(all_valid, (j * block,), (block,))
+            diff = rows[:, None, :] - cols[None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)      # [dchunk, block]
+            hit = (d2 <= r2) & rmask[:, None] & cval[None, :]
+            return (cnt_c + jnp.sum(hit, axis=1),
+                    jnp.sum(hit.astype(jnp.int32), axis=0))
 
-    cnt_delta, contrib_chunks = jax.lax.scan(
-        body, jnp.zeros((dpts.shape[0],), jnp.int32), jnp.arange(nblk))
-    return cnt_delta, contrib_chunks.reshape(-1)
+        cnt_chunk, contrib_blocks = jax.lax.scan(
+            body, jnp.zeros((dchunk,), jnp.int32), jnp.arange(nblk))
+        cnt_d = jax.lax.dynamic_update_slice(cnt_d, cnt_chunk, (c * dchunk,))
+        return c + 1, cnt_d, contrib + contrib_blocks.reshape(-1)
+
+    _, cnt_delta, contrib = jax.lax.while_loop(
+        lambda st: st[0] < nchunks, chunk_body,
+        (jnp.int32(0), jnp.zeros((D,), jnp.int32),
+         jnp.zeros((N,), jnp.int32)))
+    return cnt_delta, contrib
 
 
 def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
@@ -195,6 +218,12 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
         return perceive_init(pc, poly, params, exclusions, s,
                              ror_method=ror_method), jnp.int32(LEVEL_FULL)
 
+    def empty_branch(st):
+        # no additions, nothing removed or moved: the carried state IS the
+        # exact result for this frame (keep/grid/world are pure functions of
+        # unchanged inputs; xyz at invalid slots is never read)
+        return st, jnp.int32(LEVEL_REUSE_WORLD)
+
     def delta_branch(st):
         # compact the delta into [D] slots (overflow went to full_branch)
         pos = jnp.cumsum(delta_mask.astype(jnp.int32)) - 1
@@ -205,7 +234,8 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
         dvalid = jnp.arange(D) < dcount
 
         r2 = jnp.asarray(params.ror_radius, jnp.float32) ** 2
-        cnt_delta, contrib = _cross_counts(xyz_new, valid_new, dpts, dvalid, r2)
+        cnt_delta, contrib = _cross_counts(
+            xyz_new, valid_new, dpts, dvalid, dcount, r2)
         # old points gain the delta neighbors; delta points get their full
         # count (cnt_delta includes self at d2=0 -> minus 1)
         cnt = st.cnt + contrib
@@ -262,7 +292,10 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
 
         return jax.lax.cond(changed, changed_branch, unchanged_branch, carried)
 
-    return jax.lax.cond(needs_full, full_branch, delta_branch, st)
+    def incr_branch(st):
+        return jax.lax.cond(dcount == 0, empty_branch, delta_branch, st)
+
+    return jax.lax.cond(needs_full, full_branch, incr_branch, st)
 
 
 def replay_episode_incremental(

@@ -12,14 +12,20 @@ The occupancy grid is sharded row-wise over the mesh axis:
   output feeds phase 2's neighborhoods) and reduces the fixpoint flag
   with a psum so all chips leave the while_loop together.
 
-Both are bit-identical to the single-device aosx.perceive paths
-(tests/test_parallel.py). The JFA ownership field is deliberately NOT
-sharded: a jump-flood pass at offset k needs a k-row halo (up to H/2), so
-row sharding degenerates into all-gathering the plane every pass; maps
-that exceed one chip's HBM should instead run per-tile JFA with boundary
-seed reconciliation, which changes the (approximate) 1+JFA semantics and
-is out of scope while the largest supported grid fits comfortably on one
-chip (2000x2048 u8 planes = 4 MB)."""
+- the JFA ownership field (jump_flood_sharded): a Jacobi pass at offset k
+  needs rows shifted by +-k, and k reaches H/2 - far beyond any halo. The
+  row shift is instead decomposed into WHOLE-SHARD moves: a global shift
+  by d = q*Hb + r rows is at most two ppermutes (the blocks of mesh
+  neighbors i-q-1 and i-q) plus a local stitch, so per-pass ICI traffic
+  stays O(shard) regardless of k. The fold math is voronoi.jacobi_fold,
+  shared verbatim with the single-device lowering.
+
+All are bit-identical to the single-device aosx.perceive / aosx.gvd paths
+(tests/test_parallel.py). The remaining unsharded stages (CCL, graph
+build, planning) operate on COMPACTED sparse sets (skeleton runs, seeds,
+nodes) that are orders of magnitude smaller than the grid planes, so a
+map too large for one chip's HBM still runs end-to-end with the planes
+sharded and the sparse stages replicated."""
 
 from __future__ import annotations
 
@@ -29,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Statics
 from ..perceive.raster import dilate_disc
-from ..types import GridWorld
+from ..types import GridWorld, SeedSet
 
 
 def inflate_sharded(grid: GridWorld, s: Statics, mesh: Mesh, axis: str = "space") -> GridWorld:
@@ -150,3 +156,105 @@ def skeletonize_sharded(grid: GridWorld, s: Statics, mesh: Mesh, axis: str = "sp
     )
     out = f(grid.occ, grid.h_cells, grid.w_cells)
     return GridWorld(out, grid.origin_x, grid.origin_y, grid.h_cells, grid.w_cells)
+
+
+def jump_flood_sharded(grid: GridWorld, seeds: SeedSet, s: Statics,
+                       mesh: Mesh, axis: str = "space"):
+    """Row-sharded 1+JFA nearest-seed ownership (gvd.voronoi.jump_flood on
+    a grid whose planes live sharded across `axis`).
+
+    A Jacobi pass at offset k reads rows shifted by +-k; k reaches H/2, so
+    a halo exchange is hopeless. Instead each global row shift by d rows
+    (d = q*Hb + r, floor divmod by the shard height Hb) is assembled from
+    at most two whole-shard ppermutes - the blocks of mesh neighbors
+    i-q-1 and i-q - stitched locally:
+
+        out_rows[i*Hb .. (i+1)*Hb) = src rows [(i-q)*Hb - r, (i-q+1)*Hb - r)
+                                   = block(i-q-1)[Hb-r:] ++ block(i-q)[:Hb-r]
+
+    with owner fill S outside [0, H) (matching shift_fill_s). Column shifts
+    stay local (the lane dim is unsharded). The seed-scatter init and the
+    fold (voronoi._jfa_init / voronoi.jacobi_fold) are shared verbatim with
+    the single-device path; position-plane fill values are irrelevant
+    wherever owner == S (see jacobi_fold's docstring), so the owner field
+    is BIT-IDENTICAL to jump_flood (tests/test_parallel.py)."""
+    from ..gvd.voronoi import _jfa_init, _passes, jacobi_fold
+
+    n = mesh.shape[axis]
+    H, W = grid.occ.shape
+    assert H % n == 0, (H, n)
+    Hb = H // n
+    S = seeds.xy.shape[0]
+    res = jnp.float32(s.resolution)
+    owner0, ox0, oy0 = _jfa_init(grid, seeds, s)
+    passes = _passes(s)
+
+    def block_fn(o, x, y, h_cells, w_cells, origin_x, origin_y):
+        i = jax.lax.axis_index(axis)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (Hb, W), 0) + i * Hb
+        gx = jax.lax.broadcasted_iota(jnp.int32, (Hb, W), 1)
+        cellx = origin_x + gx.astype(jnp.float32) * res
+        celly = origin_y + gy.astype(jnp.float32) * res
+
+        def from_shard(p, off: int):
+            # this chip's slot receives chip (i - off)'s block; chips whose
+            # source index falls off the mesh receive zeros (masked below)
+            if off == 0:
+                return p
+            return jax.lax.ppermute(
+                p, axis, [(j, j + off) for j in range(n) if 0 <= j + off < n])
+
+        def shift_rows(p, d: int, fill):
+            # out[g] = p[g - d] in global rows, `fill` outside [0, H)
+            if d == 0:
+                return p
+            q, r = divmod(d, Hb)
+            if r == 0:
+                out = from_shard(p, q)
+            else:
+                hi = from_shard(p, q + 1)   # contributes its last r rows
+                lo = from_shard(p, q)       # contributes its first Hb-r rows
+                out = jnp.concatenate([hi[Hb - r:], lo[:Hb - r]], axis=0)
+            src = gy - d
+            return jnp.where((src < 0) | (src >= H), fill, out)
+
+        def shift_cols(p, d: int, fill):
+            if d == 0:
+                return p
+            if d > 0:
+                return jnp.concatenate(
+                    [jnp.full((Hb, min(d, W)), fill, p.dtype), p[:, :-d]], axis=1
+                )[:, :W]
+            return jnp.concatenate(
+                [p[:, -d:], jnp.full((Hb, min(-d, W)), fill, p.dtype)], axis=1
+            )[:, :W]
+
+        for step in passes:
+            o0, x0, y0 = o, x, y
+            neighbors = []
+            for dys in (-1, 0, 1):
+                od = shift_rows(o0, dys * step, jnp.int32(S))
+                xd = shift_rows(x0, dys * step, jnp.float32(1e9))
+                yd = shift_rows(y0, dys * step, jnp.float32(1e9))
+                for dxs in (-1, 0, 1):
+                    if dys == 0 and dxs == 0:
+                        continue
+                    neighbors.append((
+                        shift_cols(od, dxs * step, jnp.int32(S)),
+                        shift_cols(xd, dxs * step, jnp.float32(0.0)),
+                        shift_cols(yd, dxs * step, jnp.float32(0.0)),
+                    ))
+            o, x, y = jacobi_fold(o0, x0, y0, neighbors, S, cellx, celly)
+
+        live = (gy < h_cells) & (gx < w_cells)
+        return jnp.where(live & (o < S), o, jnp.int32(-1))
+
+    f = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    return f(owner0, ox0, oy0, grid.h_cells, grid.w_cells,
+             grid.origin_x, grid.origin_y)

@@ -60,12 +60,63 @@ def main():
     base_valid[order[-n_drop:]] = False
     pc_base = PointCloud(xyz=jnp.asarray(xyz), valid=jnp.asarray(base_valid))
 
-    # densify frame: base + 4096 duplicates of existing points in free slots
+    # densify frame: base + duplicates of existing points in free slots,
+    # sources chosen so NO keep decision can flip (provably level 0):
+    #   - the source is kept, so the dup lands in an already-occupied cell
+    #     and its own count (cnt_src + 1) clears the threshold;
+    #   - no point within ror_radius (2D superset of the 3D ball) of the
+    #     source sits at cnt == min_neighbors - 1, so the dup's +1 cannot
+    #     promote a dropped point;
+    #   - chosen sources pairwise > 2*ror_radius apart, so no point's count
+    #     gains more than +1 in total.
+    # (A naive "duplicate anything" densify measured level 2: real orchard
+    # noise points sit at the ROR threshold and re-observation promotes
+    # them - which the gates correctly detect.)
+    from aosx.perceive.points import preprocess_full
+
+    _, keep_j, cnt_j, valid_j, _, _ = jax.jit(
+        lambda p: preprocess_full(p, poly, params, excl, S, ror_method="sorted")
+    )(pc_base)
+    keep_b = np.asarray(keep_j)
+    cnt_b = np.asarray(cnt_j)
+    valid_b = np.asarray(valid_j)
+    r = float(np.asarray(params.ror_radius))
+    minn = int(np.asarray(params.ror_min_neighbors))
+
+    def cell_hash(idx, size):
+        d = {}
+        for i in idx:
+            key = (int(xyz[i, 0] // size), int(xyz[i, 1] // size))
+            d.setdefault(key, []).append(i)
+        return d
+
+    def near(d, p, size, rad):
+        cx, cy = int(p[0] // size), int(p[1] // size)
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                for j in d.get((cx + ox, cy + oy), ()):
+                    if (xyz[j, 0] - p[0]) ** 2 + (xyz[j, 1] - p[1]) ** 2 <= rad * rad:
+                        return True
+        return False
+
+    borderline = cell_hash(np.flatnonzero(valid_b & (cnt_b == minn - 1)), r)
+    chosen_hash = {}
+    chosen = []
+    rng2 = np.random.default_rng(7)
+    for i in rng2.permutation(np.flatnonzero(keep_b)):
+        if len(chosen) >= min(4096, S.max_delta_points):
+            break
+        p = xyz[i]
+        if near(borderline, p, r, r) or near(chosen_hash, p, 2 * r, 2 * r):
+            continue
+        chosen.append(i)
+        chosen_hash.setdefault(
+            (int(p[0] // (2 * r)), int(p[1] // (2 * r))), []).append(i)
     free = np.flatnonzero(~valid)
-    ndup = min(4096, len(free), S.max_delta_points)
+    ndup = min(len(chosen), len(free))
     dens_xyz = xyz.copy()
     dens_valid = base_valid.copy()
-    dens_xyz[free[:ndup]] = xyz[order[:ndup]]
+    dens_xyz[free[:ndup]] = xyz[np.asarray(chosen[:ndup])]
     dens_valid[free[:ndup]] = True
     pc_dens = PointCloud(xyz=jnp.asarray(dens_xyz), valid=jnp.asarray(dens_valid))
 

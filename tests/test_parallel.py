@@ -280,6 +280,47 @@ def test_sustained_rollouts_accounting_and_parity(params):
             assert abs(float(res[k][i]) - float(ref[k])) < 1e-3, (i, k)
 
 
+def test_spatial_sharded_jump_flood():
+    """Row-sharded 1+JFA (whole-shard ppermute row shifts, shared
+    jacobi_fold) == single-device jump_flood, bit-exact, on random seeds
+    over a live region smaller than the padded grid. Pass offsets reach
+    128 rows > the 48-row shard height, so the multi-shard (q > 0) moves
+    are exercised."""
+    from jax.sharding import Mesh
+    from aosx.gvd.voronoi import jump_flood
+    from aosx.parallel.spatial import jump_flood_sharded
+    from aosx.types import GridWorld, SeedSet
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(cpus[:4]), ("space",))
+    rng = np.random.default_rng(17)
+    occ = (rng.random((S.grid_h, S.grid_w)) < 0.05).astype(np.uint8)
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(-1.5), origin_y=jnp.float32(0.5),
+        h_cells=jnp.int32(S.grid_h - 11), w_cells=jnp.int32(S.grid_w - 3),
+    )
+    ns = 64
+    xy = np.stack([
+        -1.5 + rng.random(ns) * S.grid_w * S.resolution,
+        0.5 + rng.random(ns) * S.grid_h * S.resolution,
+    ], axis=1).astype(np.float32)
+    # a duplicated cell exercises the min-seed-idx tie break
+    xy[1] = xy[0]
+    seeds = SeedSet(
+        xy=jnp.asarray(xy),
+        valid=jnp.asarray(rng.random(ns) < 0.9),
+        kind=jnp.zeros((ns,), jnp.int8),
+    )
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(lambda g, se: jump_flood(g, se, S))(grid, seeds)
+        got = jax.jit(
+            lambda g, se: jump_flood_sharded(g, se, S, mesh))(grid, seeds)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_prepare_world_sharded_stencils(params):
     """VERDICT r2 #7: the spatial axis composed into the pipeline - the full
     prepare_world with row-sharded inflation + skeletonization must be
