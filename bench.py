@@ -153,20 +153,29 @@ def main():
     _, value = median_ms(lambda *a: (stage_full(*a),), pc, poly, params, excl)
     print(f"# fused ok ({time.time() - t_start:.0f}s) full step={value:.2f} ms",
           file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "perceive_gvd_plan_control_step_ms_2000x2000",
-                "value": round(value, 3),
-                "unit": "ms",
-                "vs_baseline": round(REFERENCE_CPU_MS / value, 1),
-                "vs_baseline_cpp_estimate": [
-                    round(HONEST_CPP_ESTIMATE_MS[0] / value, 1),
-                    round(HONEST_CPP_ESTIMATE_MS[1] / value, 1),
-                ],
-            }
-        )
-    )
+
+    result = {
+        "metric": "perceive_gvd_plan_control_step_ms_2000x2000",
+        "value": round(value, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_CPU_MS / value, 1),
+        "vs_baseline_cpp_estimate": [
+            round(HONEST_CPP_ESTIMATE_MS[0] / value, 1),
+            round(HONEST_CPP_ESTIMATE_MS[1] / value, 1),
+        ],
+    }
+    # steady-state SLAM-loop cost (aosx.incremental): pre-measured by
+    # benchmarks/bench_incremental.py on the same orchard/scale; bit-exact
+    # reuse levels, see FLOOR.md section 2
+    inc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "INCREMENTAL.json")
+    if os.path.exists(inc_path):
+        with open(inc_path) as f:
+            inc = json.load(f)
+        result["incremental_update_device_ms"] = {
+            k: v["device_ms"] for k, v in inc["scenarios"].items()
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
