@@ -79,6 +79,14 @@ class Statics:
     astar_k: int = 5                   # candidate start nodes (k-nearest)
     max_segments: int = 10             # linearization max segments (long dist)
 
+    # Coarse factor for the packed coarse-to-fine edge-crossing filter
+    # (gvd/graph.edge_crossing_packed): every C4-th fine sample is probed in
+    # a (C4/4+1)-dilated grid; exact fine windows of 2*C4 lanes open around
+    # coarse hits. Cost of the per-slot machinery is proportional to
+    # cap/C4; the fine gather grows with C4. Must be a multiple of 4.
+    # Decisions are exact at any value (the dilation radius scales with C4).
+    crossing_coarse_factor: int = 8
+
     # Incremental map update (aosx.incremental): cap on NEW points per frame
     # handled by the O(N*D) delta-ROR cross pass; a larger delta falls back
     # to the exact from-scratch pass inside the same jit.

@@ -229,17 +229,17 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     (~10-18 ns/element, CLAUDE.md), so cost == number of occupancy lookups.
     Two exact-decision passes:
 
-    1. COARSE: every C4=8th fine sample, looked up in the occupancy grid
-       dilated by Chebyshev radius 3. Fine samples are <= res/2 apart, so
-       any fine sample lies within C4/2=4 fine steps (<= 2 cells) of a
-       coarse sample; the 3-cell dilation (2 + 1 for cell rounding)
-       therefore catches every possible fine hit (no false negatives).
-       Entries whose per-sample spacing exceeds res/2 (num capped by nmax)
-       break that bound - their coarse slots are force-flagged so the fine
-       pass evaluates them fully.
-    2. FINE: exact sampling of the ORIGINAL grid, but only in +-C4/2-sample
-       windows (16 lanes) around coarse hits - ~10x fewer lookups than the
-       all-fine packed layout on real GVD candidate sets.
+    1. COARSE: every C4-th fine sample (C4 = s.crossing_coarse_factor),
+       looked up in the occupancy grid dilated by Chebyshev radius
+       C4/4 + 1. Fine samples are <= res/2 apart, so any fine sample lies
+       within C4/2 fine steps (<= C4/4 cells) of a coarse sample; the
+       +1-cell rounding margin makes the dilation catch every possible
+       fine hit (no false negatives). Entries whose per-sample spacing
+       exceeds res/2 (num capped by nmax) break that bound - their coarse
+       slots are force-flagged so the fine pass evaluates them fully.
+    2. FINE: exact sampling of the ORIGINAL grid, but only in 2*C4-lane
+       windows around coarse hits - ~10x fewer lookups than the all-fine
+       packed layout on real GVD candidate sets.
 
     EVERY per-slot cost in here (the hold-last scans, the coarse gather,
     the window compaction top_k, the fine gather) is proportional to the
@@ -259,7 +259,8 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     num_raw = (length / step).astype(jnp.int32) + 1
     num = jnp.minimum(num_raw, nmax - 1)
     capped = num_raw > nmax - 1            # spacing coarser than res/2
-    C4 = 8                                 # coarse factor
+    C4 = s.crossing_coarse_factor          # coarse factor
+    assert C4 % 4 == 0 and C4 >= 4, C4
     numc = (num + C4 - 1) // C4            # coarse samples = 0..numc
     nsamp = jnp.where(valid, numc + 1, 0)
     off = jnp.cumsum(nsamp) - nsamp        # exclusive prefix
@@ -273,12 +274,15 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
     capp = NR * NC
     F = max(4096, cap // 64)               # fine-window buffer
 
-    # occupancy dilated by Chebyshev radius 3 (separable 1x7 / 7x1 max)
+    # occupancy dilated by Chebyshev radius C4/4 + 1: a fine hit within
+    # C4/2 fine steps of a coarse sample is <= C4/2 * res/2 = C4/4 cells
+    # away, + 1 for cell rounding (separable row/col max windows)
+    rad = C4 // 4 + 1
     occ1 = (grid.occ == 1).astype(jnp.uint8)
     dil = jax.lax.reduce_window(occ1, jnp.uint8(0), jax.lax.max,
-                                (1, 7), (1, 1), "SAME")
+                                (1, 2 * rad + 1), (1, 1), "SAME")
     dil = jax.lax.reduce_window(dil, jnp.uint8(0), jax.lax.max,
-                                (7, 1), (1, 1), "SAME")
+                                (2 * rad + 1, 1), (1, 1), "SAME")
 
     dx = b[:, 0] - a[:, 0]
     dy = b[:, 1] - a[:, 1]
