@@ -176,6 +176,68 @@ def test_incremental_contract_violations_fall_back(setup):
     assert int(level) == incremental.LEVEL_FULL
 
 
+def test_incremental_level1_reuses_downstream(setup):
+    """LEVEL_REUSE_DOWNSTREAM: the inflated plane changes but the skeleton
+    is identical -> graph/costmat/waypoints reused, occupancy refreshed.
+    The frame is found by searching candidate added points (deterministic:
+    fixed grid of offsets around the map's occupied region) for one whose
+    inflation bump survives into the plane but is erased by morph open /
+    thinning; the incremental result must still be bit-identical."""
+    bufs, valids, poly_j, params, excl = setup
+    import jax.numpy as jnp
+
+    from aosx.perceive.raster import generate_grid, inflate
+    from aosx.perceive.skeleton import skeletonize
+    from aosx.perceive.points import preprocess_full
+
+    pc0 = _pc(bufs, valids, 2)
+    st = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )(pc0)
+
+    @jax.jit
+    def probe_frame(pc):
+        xy, keep, _, _, bounds, _ = preprocess_full(pc, poly_j, params, excl, S)
+        grid = generate_grid(xy, keep, bounds, S)
+        infl = inflate(grid, S)
+        skel = skeletonize(infl, S)
+        return (jnp.any(infl.occ != st.inflated.occ),
+                jnp.all(skel.occ == st.out.skeleton.occ))
+
+    # candidates: offsets around existing valid points; need 3+ duplicates
+    # per spot so the new points pass ROR against each other + the base map
+    n_valid = int(valids[2].sum())
+    base_pts = bufs[2][:n_valid]
+    found = None
+    for src_i in range(0, min(n_valid, 400), 7):
+        for off in ((0.25, 0.0), (0.0, 0.25), (-0.25, 0.0), (0.0, -0.25)):
+            cand = base_pts[src_i] + np.float32([off[0], off[1], 0.0])
+            bufs2 = bufs[2].copy()
+            valids2 = valids[2].copy()
+            bufs2[n_valid:n_valid + 3] = cand  # 3 coincident points
+            valids2[n_valid:n_valid + 3] = True
+            pc2 = PointCloud(xyz=jnp.asarray(bufs2), valid=jnp.asarray(valids2))
+            infl_changed, skel_same = probe_frame(pc2)
+            if bool(infl_changed) and bool(skel_same):
+                found = pc2
+                break
+        if found is not None:
+            break
+    if found is None:
+        pytest.skip("no level-1 frame found in the candidate set")
+
+    st2, level = jax.jit(
+        lambda st, pc: incremental.perceive_update(st, pc, poly_j, params, excl, S),
+    )(st, found)
+    assert int(level) == incremental.LEVEL_REUSE_DOWNSTREAM
+    world_ref, out_ref = jax.jit(
+        lambda pc: engine.prepare_world_full(pc, poly_j, params, excl, S,
+                                             ror_method="exact")[:2],
+    )(found)
+    _assert_world_equal(st2.world, world_ref)
+    _assert_world_equal(st2.out, out_ref)
+
+
 @pytest.mark.slow
 def test_replay_incremental_matches_full_replay(setup):
     """replay_episode_incremental reproduces engine.replay_episode's
