@@ -14,6 +14,8 @@ functions map to:
                        (replacing /lio_sam/save_map + /gvd/save_cluster_info)
 
 Run: python -m aosx.dashboard [--steps N] [--pcd file] [--out dir]
+     python -m aosx.dashboard --pcd-seq 'maps/frame_*.pcd'   # growing SLAM
+     map snapshots through the exact incremental engine (aosx.incremental)
 """
 
 from __future__ import annotations
@@ -105,6 +107,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--pcd", type=str, default=None, help="replay a PCD map")
+    ap.add_argument("--pcd-seq", type=str, default=None,
+                    help="comma-separated PCD files or a glob: snapshots of a "
+                         "growing SLAM map, replayed through the exact "
+                         "incremental engine (aosx.incremental). Index-stable "
+                         "append-only sequences reuse unchanged work; anything "
+                         "else falls back to from-scratch frames (level 3)")
     ap.add_argument("--polygon", type=str, default=None, help="polygon JSON (xy pairs)")
     ap.add_argument("--params", type=str, default=None, help="aos_planner_params.yaml")
     ap.add_argument("--out", type=str, default="/tmp/aosx_run")
@@ -119,6 +127,70 @@ def main():
 
     params = params_as_f32(AosParams() if args.params is None else params_get(args.params)[0])
 
+    def load_polygon():
+        if args.polygon:
+            return Polygon.from_array(
+                np.asarray(json.load(open(args.polygon)), np.float32), S)
+        return Polygon.from_array(np.zeros((0, 2), np.float32), S)
+
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+
+    if args.pcd_seq:
+        import glob as _glob
+
+        from . import incremental
+        from .io.pcd import load_pcd
+
+        if any(ch in args.pcd_seq for ch in "*?["):
+            files = sorted(_glob.glob(args.pcd_seq))
+        else:
+            files = [p for p in args.pcd_seq.split(",") if p]
+        if not files:
+            raise SystemExit(f"--pcd-seq matched no files: {args.pcd_seq}")
+        F = len(files)
+        bufs = np.zeros((F, S.max_points, 3), np.float32)
+        valids = np.zeros((F, S.max_points), bool)
+        for f, path in enumerate(files):
+            xyz = load_pcd(path)
+            n = min(len(xyz), S.max_points)
+            bufs[f, :n] = xyz[:n]
+            valids[f, :n] = True
+        frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
+        poly = load_polygon()
+        steps_per_frame = max(args.steps // F, 1)
+        final, metrics = jax.jit(
+            lambda fr, pr: incremental.replay_episode_incremental(
+                fr, poly, pr, excl, S, steps_per_frame, ror_method="exact")
+        )(frames, params)
+        levels = [int(v) for v in np.asarray(metrics.pop("inc_level"))]
+        metrics = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), metrics)
+        # final-frame world for the report figure / saved map
+        pc_last = jax.tree_util.tree_map(lambda x: x[-1], frames)
+        world, perceive_out, owner = jax.jit(
+            lambda pc, poly, pr, ex: engine.prepare_world_full(
+                pc, poly, pr, ex, S, ror_method="exact", with_owner=True)
+        )(pc_last, poly, params, excl)
+
+        report = episode_report(final, metrics, S)
+        report["incremental_levels"] = levels
+        print(json.dumps(report, indent=2))
+        os.makedirs(args.out, exist_ok=True)
+        save_map(args.out, world, final)
+        try:
+            from .io.render import save_episode_figure
+
+            save_episode_figure(
+                os.path.join(args.out, "episode.png"), world, state=final,
+                metrics=metrics, resolution=S.resolution,
+                seeds=perceive_out.seeds, rows=perceive_out.rows_sorted,
+                owner=owner, show_cells=args.cells,
+            )
+            print(f"figure: {args.out}/episode.png")
+        except Exception as e:  # matplotlib optional
+            print("render skipped:", e)
+        return
+
     if args.pcd:
         from .io.pcd import load_pcd
 
@@ -129,16 +201,11 @@ def main():
         valid = np.zeros(S.max_points, bool)
         valid[:n] = True
         pc = PointCloud(xyz=jnp.asarray(buf), valid=jnp.asarray(valid))
-        if args.polygon:
-            poly_np = np.asarray(json.load(open(args.polygon)), np.float32)
-        else:
-            poly_np = np.zeros((0, 2), np.float32)
-        poly = Polygon.from_array(poly_np, S)
+        poly = load_polygon()
     else:
         spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
         pc, poly = make_orchard(jax.random.PRNGKey(args.seed), spec, S)
 
-    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
     world, perceive_out, owner = jax.jit(
         lambda pc, poly, pr, ex: engine.prepare_world_full(
             pc, poly, pr, ex, S, ror_method="exact", with_owner=True)

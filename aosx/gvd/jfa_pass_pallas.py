@@ -157,9 +157,9 @@ def _make_pass(H: int, W: int, step: int, S: int, res: float, interpret: bool):
                 num_scalar_prefetch=1,
                 grid=(nb,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=[
                     pl.BlockSpec((bh, W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),

@@ -21,11 +21,15 @@ The occupancy grid is sharded row-wise over the mesh axis:
   shared verbatim with the single-device lowering.
 
 All are bit-identical to the single-device aosx.perceive / aosx.gvd paths
-(tests/test_parallel.py). The remaining unsharded stages (CCL, graph
-build, planning) operate on COMPACTED sparse sets (skeleton runs, seeds,
-nodes) that are orders of magnitude smaller than the grid planes, so a
-map too large for one chip's HBM still runs end-to-end with the planes
-sharded and the sparse stages replicated."""
+(tests/test_parallel.py). Scope honesty: these shard the COMPUTE of the
+plane-stencil stages (the iteration-heavy part of perceive); the planes
+returned to the caller are still materialized per chip, and the remaining
+stages (CCL, crossing filter, graph build, planning) run replicated on
+compacted sparse sets orders smaller than the planes. At the largest
+supported grid (2000x2048 u8 = 4 MB/plane vs 16 GB HBM) capacity is not
+the constraint; fully-distributed plane residency would additionally need
+the consumers tiled and is out of scope until a use case exceeds one
+chip's memory."""
 
 from __future__ import annotations
 
