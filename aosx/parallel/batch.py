@@ -176,6 +176,63 @@ def rollout_finish(st, acc, s: Statics):
 
 
 # ---------------------------------------------------------------------------
+# plan-cached rollouts: on a static world the raw path is a pure function of
+# the discrete mission configuration (plan/plancache.py), so the per-tick
+# A* + linearization — the lockstep-tail components of the vmapped step —
+# are precomputed once per world in begin(). The chunk then carries ONLY
+# (WorldLite 2 scalars, PlanCache ~R*max_plan floats, engine state): the
+# grids / graph / costmat never reach the steady-state HBM working set.
+# Bit-identical to the replan-every-tick engine (tests/test_plancache.py).
+# ---------------------------------------------------------------------------
+
+
+def rollout_begin_cached(key, spec: OrchardSpec, params: AosParams, s: Statics,
+                         n_steps_total: int, ror_method: str = "sorted"):
+    """rollout_begin + plan-cache build; returns (lite, cache, state, acc).
+    The full World is a temporary of this function only."""
+    from ..plan import plancache
+
+    pc, poly = make_orchard(key, spec, s)
+    excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
+    world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
+    cache = plancache.build_plan_cache(world, params, s)
+    lite = plancache.world_lite(world)
+    st = plancache.initial_cached_state(world, s)
+    return lite, cache, st, _acc_init(s, n_steps_total)
+
+
+def rollout_chunk_cached(lite, cache, st, acc, params, s: Statics, n: int,
+                         offset):
+    """rollout_chunk through plancache.step_cached (same accumulator)."""
+    from ..plan import plancache
+
+    def body(carry, i):
+        st, acc = carry
+        st, m = plancache.step_cached(st, lite, cache, params, s)
+        xy = m["xy"]
+        seg = jnp.sqrt(jnp.sum((xy - acc["last_xy"]) ** 2))
+        acc = dict(
+            first_done=jnp.minimum(
+                acc["first_done"],
+                jnp.where(m["completed"], offset + i, acc["first_done"]),
+            ),
+            travel=acc["travel"] + jnp.where(acc["has_prev"], seg, 0.0),
+            last_xy=xy,
+            has_prev=jnp.bool_(True),
+            last_status=m["status"],
+            guards=acc["guards"] | m["guards"],
+        )
+        return (st, acc), None
+
+    (st, acc), _ = jax.lax.scan(body, (st, acc), jnp.arange(n, dtype=jnp.int32))
+    return st, acc
+
+
+# rollout_finish works unchanged on CachedEngineState: it reads only
+# mission / robot.xy / wp.count, all carried identically.
+
+
+# ---------------------------------------------------------------------------
 # sustained rollouts: lane refill at chunk boundaries (VERDICT r2 #2).
 #
 # A one-shot batch decays with size: lanes that finish early (or heavy-tail
@@ -194,7 +251,7 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
                        params: AosParams, s: Statics, steps_budget: int, *,
                        chunk_steps: int = 150, refill: int | None = None,
                        seed: int = 0, ror_method: str = "sorted",
-                       on_progress=None):
+                       cached: bool = False, on_progress=None):
     """Run `total` full rollouts through `batch` device lanes with refill.
 
     Returns (results, stats): `results` is a dict of np arrays indexed by
@@ -212,14 +269,27 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     # every queued key must eventually start: refill groups are fixed-size
     assert (total - batch) % refill == 0, (total, batch, refill)
 
-    begin = jax.jit(jax.vmap(
-        lambda k: rollout_begin(k, spec, params, s, steps_budget,
-                                ror_method=ror_method)
-    ))
-    chunk = jax.jit(jax.vmap(
-        lambda w, st, acc, off: rollout_chunk(w, st, acc, params, s,
-                                              chunk_steps, off)
-    ))
+    if cached:
+        # "world" = (WorldLite, PlanCache); the full World is freed at the
+        # end of each begin() call, so steady-state HBM is per-lane tiny
+        def _begin_one(k):
+            lite, cache, st, acc = rollout_begin_cached(
+                k, spec, params, s, steps_budget, ror_method=ror_method)
+            return (lite, cache), st, acc
+
+        def _chunk_one(w, st, acc, off):
+            return rollout_chunk_cached(w[0], w[1], st, acc, params, s,
+                                        chunk_steps, off)
+    else:
+        def _begin_one(k):
+            return rollout_begin(k, spec, params, s, steps_budget,
+                                 ror_method=ror_method)
+
+        def _chunk_one(w, st, acc, off):
+            return rollout_chunk(w, st, acc, params, s, chunk_steps, off)
+
+    begin = jax.jit(jax.vmap(_begin_one))
+    chunk = jax.jit(jax.vmap(_chunk_one))
     finish = jax.jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, s)))
     scatter = jax.jit(
         lambda big, new, idx: jax.tree_util.tree_map(

@@ -81,17 +81,27 @@ def build_waypoints(graph: GvdGraph, params: AosParams, s: Statics) -> Waypoints
     return Waypoints(xy=xy, node_idx=node_idx, count=count)
 
 
-def current_cluster_index(target_wp, graph: GvdGraph):
-    """calculateClusterIndex (cpp:1633-1652), published on
-    /aos/current_cluster_index (cpp:1655-1663): each cluster owns 2
-    waypoints except the last which owns 3; -1 when the index is negative
-    or there are no clusters; the reference's loop quirk returns 0 (not
-    total-1) when the index is past the whole tour."""
-    total = jnp.sum(jnp.any(graph.label_node >= 0, axis=1).astype(jnp.int32))
+def labeled_cluster_total(graph: GvdGraph):
+    """Number of clusters with any TL/TR/BL/BR label — the `total` of
+    calculateClusterIndex (cpp:1633-1652). A per-world scalar; the plan
+    cache precomputes it so ticks need not carry the graph."""
+    return jnp.sum(jnp.any(graph.label_node >= 0, axis=1).astype(jnp.int32))
+
+
+def cluster_index_from_total(target_wp, total):
+    """calculateClusterIndex (cpp:1633-1652) given the labeled-cluster
+    count: each cluster owns 2 waypoints except the last which owns 3; -1
+    when the index is negative or there are no clusters; the reference's
+    loop quirk returns 0 (not total-1) when the index is past the tour."""
     in_tail = target_wp < 2 * (total - 1) + 3
     cluster = jnp.where(target_wp < 2 * (total - 1), target_wp // 2, total - 1)
     cluster = jnp.where(in_tail, cluster, 0)
     return jnp.where((target_wp < 0) | (total <= 0), -1, cluster)
+
+
+def current_cluster_index(target_wp, graph: GvdGraph):
+    """Published on /aos/current_cluster_index (cpp:1655-1663)."""
+    return cluster_index_from_total(target_wp, labeled_cluster_total(graph))
 
 
 def _append_origin(wp: Waypoints, params: AosParams) -> Waypoints:

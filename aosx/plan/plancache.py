@@ -1,0 +1,342 @@
+"""Precomputed plan cache: replan-free closed-loop ticks on a static world.
+
+The reference replans on EVERY position message (currentPosCallback,
+aos_path_gen_node.cpp:195-278) — but planAndPublishPath's start point is the
+PREVIOUS WAYPOINT, not the robot pose (cpp:1046-1060; the robot position is
+used only by the /aos/next_waypoint service). So on a static world (fixed
+graph/costmat/skeleton — exactly the Monte-Carlo rollout setting, where the
+world is built once per orchard) the raw path is a pure function of the
+DISCRETE mission configuration:
+
+    (initial_reached, target_wp, prev_wp, origin_appended)
+
+and a closed-loop episode (no service calls, no graph rebuilds) visits at
+most W+4 distinct configurations:
+
+    row 0        initial straight line (0,0)->(8,0)   [~initial_reached]
+    rows 1..W    target t in 0..W-1, prev = t-1       [mid-tour; prev=-1 at t=0]
+    row W+1      origin return, prev = last tour wp   [first completing advance]
+    row W+2      origin return, prev == target        [repeat advance at origin]
+    row W+3      target_wp < 0 with initial_reached   [degenerate; always fails]
+    row W+4      the initial empty path               [linearize(empty) — the
+                 pre-first-adoption /plan content]
+
+Precomputing plan_current_path + linearize for every row once per world and
+SELECTING by row index per tick is therefore BIT-IDENTICAL to replanning
+every tick (tests/test_plancache.py pins full-episode metric equality) while
+removing the A* and linearization while_loops — the components whose lockstep
+tails grow with path length under vmap (CLAUDE.md round-3 ablation: 8.5 ->
+13.6 ms/step from t30 to t200 at batch 128) — from the per-tick step
+entirely.
+
+Per-tick costs that replace them:
+  - row index: scalar integer math on the mission state
+  - scalars (count/goal/success/nonfinite): 1-element gathers
+  - the plan xy buffer for the follower/controller: an exact bitwise
+    masked-sum select over the [R, max_plan, 2] cache (R ~ 25 for the MC
+    config; bandwidth-bound sequential reads, NOT a serial gather). The
+    select sums int32 BITCASTS with a one-hot mask, so even -0.0 / NaN
+    payloads survive exactly — a float masked-sum would rewrite -0.0 to
+    +0.0 ((-0.0) + (+0.0) = +0.0 in IEEE).
+
+step_cached contains no lax.cond, so it is safe under vmap (a vmapped cond
+executes both branches — CLAUDE.md). build_plan_cache runs once per world in
+the rollout begin phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AosParams, Statics
+from ..types import ControlState, MissionState, Path, Waypoints
+from .control import control_tick
+from .linearize import linearize
+from .mission import (
+    _append_origin,
+    cluster_index_from_total,
+    labeled_cluster_total,
+    mission_tick,
+    plan_current_path,
+)
+
+
+def _dc(cls):
+    return jax.tree_util.register_dataclass(dataclasses.dataclass(frozen=True)(cls))
+
+
+@_dc
+class PlanCache:
+    """Per-world precomputed plans, one row per reachable mission config."""
+
+    plan_xy: Any     # [R, max_plan, 2] f32 linearized /plan points
+    plan_count: Any  # [R] i32
+    goal_xy: Any     # [R, 2] f32 = plan_xy[r, max(count-1, 0)]
+    goal_yaw: Any    # [R] f32  = plan_yaw[r, max(count-1, 0)]
+    success: Any     # [R] bool plan_current_path success
+    nonfinite: Any   # [R] i32 count of nonfinite in plan.xy + raw.xy
+
+
+@_dc
+class WorldLite:
+    """Everything step_cached still needs from the World once the plans are
+    cached: two scalars. Batched rollouts keep ONLY this + the cache per
+    lane after begin — the grids / graph / costmat leave HBM entirely."""
+
+    guards: Any         # i32 world-build guard bitmask
+    cluster_total: Any  # i32 labeled-cluster count (mission.labeled_cluster_total)
+
+
+def world_lite(world) -> WorldLite:
+    return WorldLite(guards=world.guards,
+                     cluster_total=labeled_cluster_total(world.graph))
+
+
+@_dc
+class CachedEngineState:
+    """engine.EngineState with the carried paths replaced by the adopted
+    cache row index (keep-last-path == keep-last-index)."""
+
+    robot: Any
+    mission: Any
+    control: Any
+    wp: Any
+    adopted: Any     # i32 cache row currently published as /plan
+    last_mod: Any
+    t: Any
+
+
+def num_rows(s: Statics) -> int:
+    return s.max_waypoints + 5
+
+
+def cache_row_index(mission: MissionState, s: Statics):
+    """Map a mission configuration to its cache row (module docstring)."""
+    W = s.max_waypoints
+    return jnp.where(
+        ~mission.initial_reached, 0,
+        jnp.where(
+            mission.target_wp < 0, W + 3,
+            jnp.where(
+                ~mission.origin_appended, 1 + mission.target_wp,
+                jnp.where(mission.prev_wp == mission.target_wp, W + 2, W + 1),
+            ),
+        ),
+    ).astype(jnp.int32)
+
+
+def build_plan_cache(world, params: AosParams, s: Statics) -> PlanCache:
+    """Run plan_current_path + linearize for every reachable mission config
+    of this (static) world. One-time cost per rollout, vmapped over rows."""
+    W = s.max_waypoints
+    R = num_rows(s)
+    wp0 = world.waypoints
+    wp2 = _append_origin(wp0, params)
+    c2 = wp2.count
+
+    rows = jnp.arange(R, dtype=jnp.int32)
+    # rows 1..W: target = row-1, prev = row-2 (prev=-1 at target 0)
+    target = rows - 1
+    prev = rows - 2
+    target = target.at[0].set(-1).at[W + 1].set(c2 - 1).at[W + 2].set(c2 - 1)
+    target = target.at[W + 3].set(-1).at[W + 4].set(-1)
+    prev = prev.at[0].set(-1).at[W + 1].set(c2 - 2).at[W + 2].set(c2 - 1)
+    prev = prev.at[W + 3].set(-1).at[W + 4].set(-1)
+    init_reached = rows != 0
+    use_wp2 = (rows == W + 1) | (rows == W + 2)
+
+    f = jnp.bool_(False)
+    missions = MissionState(
+        target_wp=target,
+        prev_wp=prev,
+        initial_reached=init_reached,
+        exploration_completed=jnp.broadcast_to(f, (R,)),
+        waiting_for_docking=jnp.broadcast_to(f, (R,)),
+        status=jnp.zeros((R,), jnp.int32),
+        origin_appended=use_wp2,
+    )
+    wps = Waypoints(
+        xy=jnp.where(use_wp2[:, None, None], wp2.xy[None], wp0.xy[None]),
+        node_idx=jnp.where(use_wp2[:, None], wp2.node_idx[None], wp0.node_idx[None]),
+        count=jnp.where(use_wp2, wp2.count, wp0.count),
+    )
+
+    def one(m, wp):
+        raw, success = plan_current_path(
+            m, wp, world.graph, world.costmat, world.skeleton, params, s,
+            trim_plane=world.trim_skel,
+        )
+        plan = linearize(raw, params, s)
+        return raw, plan, success
+
+    raws, plans, success = jax.vmap(one)(missions, wps)
+
+    # row W+4 = the engine's initial empty /aos/path and its linearization
+    # (the /plan content every tick publishes until the first adoption)
+    P = s.max_path
+    empty_raw = Path(xy=jnp.zeros((P, 2), jnp.float32),
+                     yaw=jnp.zeros(P), count=jnp.int32(0))
+    empty_plan = linearize(empty_raw, params, s)
+    raws = Path(
+        xy=raws.xy.at[W + 4].set(empty_raw.xy),
+        yaw=raws.yaw.at[W + 4].set(empty_raw.yaw),
+        count=raws.count.at[W + 4].set(empty_raw.count),
+    )
+    plans = Path(
+        xy=plans.xy.at[W + 4].set(empty_plan.xy),
+        yaw=plans.yaw.at[W + 4].set(empty_plan.yaw),
+        count=plans.count.at[W + 4].set(empty_plan.count),
+    )
+    success = success.at[W + 4].set(False)
+
+    gi = jnp.maximum(plans.count - 1, 0)
+    goal_xy = jnp.take_along_axis(plans.xy, gi[:, None, None], axis=1)[:, 0]
+    goal_yaw = jnp.take_along_axis(plans.yaw, gi[:, None], axis=1)[:, 0]
+    nf = (
+        jnp.sum((~jnp.isfinite(plans.xy)).astype(jnp.int32), axis=(1, 2))
+        + jnp.sum((~jnp.isfinite(raws.xy)).astype(jnp.int32), axis=(1, 2))
+    )
+    return PlanCache(
+        plan_xy=plans.xy,
+        plan_count=plans.count,
+        goal_xy=goal_xy,
+        goal_yaw=goal_yaw,
+        success=success,
+        nonfinite=nf,
+    )
+
+
+def initial_cached_state(world, s: Statics) -> CachedEngineState:
+    from ..engine import initial_state
+
+    st = initial_state(world, s)
+    return CachedEngineState(
+        robot=st.robot, mission=st.mission, control=st.control, wp=st.wp,
+        adopted=jnp.int32(s.max_waypoints + 4), last_mod=st.last_mod, t=st.t,
+    )
+
+
+def _on_path_cached(state: ControlState, cache: PlanCache, adopted):
+    """plan.control.on_path on the cached plan: only the goal pose (last
+    /plan point) and count>0 are read, both precomputed per row."""
+    has = cache.plan_count[adopted] > 0
+    new_xy = cache.goal_xy[adopted]
+    new_yaw = cache.goal_yaw[adopted]
+    changed = has & (
+        ~state.goal_initialized
+        | jnp.any(new_xy != state.goal_xy)
+        | (new_yaw != state.goal_yaw)
+    )
+    return ControlState(
+        mode=state.mode,
+        is_path_received=state.is_path_received | changed,
+        goal_initialized=state.goal_initialized | changed,
+        odom_cnt=state.odom_cnt,
+        goal_xy=jnp.where(changed, new_xy, state.goal_xy),
+        goal_yaw=jnp.where(changed, new_yaw, state.goal_yaw),
+    )
+
+
+def _select_plan_xy(cache: PlanCache, adopted):
+    """Exact row select via one-hot masked sum of int32 BITCASTS (bandwidth-
+    bound; a gather would be serial, a float sum would lose -0.0)."""
+    R = cache.plan_xy.shape[0]
+    bits = jax.lax.bitcast_convert_type(cache.plan_xy, jnp.int32)
+    sel = (jnp.arange(R, dtype=jnp.int32) == adopted)[:, None, None]
+    picked = jnp.sum(jnp.where(sel, bits, 0), axis=0)
+    return jax.lax.bitcast_convert_type(picked, jnp.float32)
+
+
+def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
+                params: AosParams, s: Statics, *, v_dt=jnp.float32(0.12)):
+    """engine.step with the per-tick replan + linearization replaced by the
+    cache row select. Bit-identical metrics and robot/mission/control
+    trajectories (tests/test_plancache.py). No lax.cond — vmap-safe."""
+    from ..engine import _move_robot
+    from ..guards import GUARD_NONFINITE
+
+    # 1. control tick on the currently-published /plan
+    ctrl = _on_path_cached(state.control, cache, state.adopted)
+    ctrl, fired, mod, goal_xy, goal_yaw = control_tick(
+        ctrl, state.robot.xy, state.robot.yaw, params
+    )
+    mod_pub = jnp.where(fired | ~ctrl.goal_initialized, mod, state.last_mod)
+
+    # 2. mission FSM; the "replan" is the cache row lookup
+    mission, wp, should_replan = mission_tick(
+        state.mission, state.wp, state.robot.xy, mod_pub, params
+    )
+    idx_now = cache_row_index(mission, s)
+    success = cache.success[idx_now]
+    use_new = should_replan & success
+    adopted = jnp.where(use_new, idx_now, state.adopted)
+
+    plan_count = cache.plan_count[adopted]
+    plan_xy = _select_plan_xy(cache, adopted)
+    plan_path = Path(xy=plan_xy, yaw=jnp.zeros((s.max_plan,), jnp.float32),
+                     count=plan_count)
+
+    status = jnp.where(
+        mission.status == 3, 3,
+        jnp.where(mission.status == 2, 2, jnp.where(success, 0, 1)),
+    )
+    mission = MissionState(
+        target_wp=mission.target_wp,
+        prev_wp=mission.prev_wp,
+        initial_reached=mission.initial_reached,
+        exploration_completed=mission.exploration_completed,
+        waiting_for_docking=mission.waiting_for_docking,
+        status=status,
+        origin_appended=mission.origin_appended,
+    )
+
+    # 3. robot kinematics (reads plan xy + count only)
+    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
+                        ctrl.goal_yaw, v_dt=v_dt)
+
+    new_state = CachedEngineState(
+        robot=robot, mission=mission, control=ctrl, wp=wp,
+        adopted=adopted, last_mod=mod_pub, t=state.t + 1,
+    )
+
+    # same isfinite hygiene as engine.step: plan/raw counts are per-row
+    # constants (engine.py:234-239)
+    nonfinite = (
+        jnp.sum((~jnp.isfinite(robot.xy)).astype(jnp.int32))
+        + cache.nonfinite[adopted]
+        + jnp.sum((~jnp.isfinite(ctrl.goal_xy)).astype(jnp.int32))
+    )
+    metrics = dict(
+        xy=robot.xy,
+        yaw=robot.yaw,
+        mod=mod_pub,
+        status=status,
+        target_wp=mission.target_wp,
+        cluster_idx=cluster_index_from_total(mission.target_wp,
+                                             lite.cluster_total),
+        waiting=mission.waiting_for_docking,
+        completed=mission.exploration_completed,
+        plan_len=plan_count,
+        nonfinite=nonfinite,
+        guards=lite.guards
+        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0),
+    )
+    return new_state, metrics
+
+
+def episode_cached(world, params: AosParams, s: Statics, n_steps: int,
+                   *, v_dt=jnp.float32(0.12)):
+    """engine.episode through the plan cache. Returns (final CachedEngineState,
+    stacked per-step metrics) — metrics bit-identical to engine.episode."""
+    cache = build_plan_cache(world, params, s)
+    lite = world_lite(world)
+    st0 = initial_cached_state(world, s)
+
+    def body(st, _):
+        return step_cached(st, lite, cache, params, s, v_dt=v_dt)
+
+    return jax.lax.scan(body, st0, None, length=n_steps)

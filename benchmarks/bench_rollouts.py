@@ -42,10 +42,13 @@ def main():
     from aosx.config import DRYRUN_STATICS, TEST_STATICS, AosParams, params_as_f32
     from aosx.orchards import OrchardSpec
     from aosx.parallel.batch import (
-        rollout_begin, rollout_chunk, rollout_finish,
+        rollout_begin, rollout_begin_cached, rollout_chunk,
+        rollout_chunk_cached, rollout_finish,
     )
 
     scale = sys.argv[3] if len(sys.argv) > 3 else "mc"
+    cached = scale.endswith("-cached")
+    scale = scale.removesuffix("-cached")
     if scale == "dryrun":
         S = DRYRUN_STATICS
         spec = OrchardSpec(
@@ -95,14 +98,27 @@ def main():
     # chunks only carry the small engine state and run at full batch.
     sub = min(batch, 128)
     assert batch % sub == 0, (batch, sub)
-    begin = jax.jit(jax.vmap(
-        lambda k: rollout_begin(k, spec, params, S, steps, ror_method="sorted")
-    ))
-    chunk = jax.jit(jax.vmap(
-        lambda w, st, acc, off: rollout_chunk(w, st, acc, params, S,
-                                              chunk_steps, off),
-        in_axes=(0, 0, 0, None),
-    ))
+    if cached:
+        # plan-cached steady state (plan/plancache.py): begin precomputes
+        # every reachable plan; chunks carry only (WorldLite, PlanCache,
+        # state) — the big World is a begin-call temporary
+        def _begin_one(k):
+            lite, cch, st, acc = rollout_begin_cached(
+                k, spec, params, S, steps, ror_method="sorted")
+            return (lite, cch), st, acc
+
+        def _chunk_one(w, st, acc, off):
+            return rollout_chunk_cached(w[0], w[1], st, acc, params, S,
+                                        chunk_steps, off)
+    else:
+        def _begin_one(k):
+            return rollout_begin(k, spec, params, S, steps, ror_method="sorted")
+
+        def _chunk_one(w, st, acc, off):
+            return rollout_chunk(w, st, acc, params, S, chunk_steps, off)
+
+    begin = jax.jit(jax.vmap(_begin_one))
+    chunk = jax.jit(jax.vmap(_chunk_one, in_axes=(0, 0, 0, None)))
     finish = jax.jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, S)))
 
     def run(keys):
@@ -137,6 +153,7 @@ def main():
     result = {
         "metric": "mc_rollouts_per_sec_per_chip",
         "scale": scale,
+        "plan_cached": cached,
         "grid": [S.grid_h, S.grid_w],
         "batch": batch,
         "steps_per_rollout": steps,

@@ -9,7 +9,8 @@ vmapped while_loops. Refill converts dead lanes into throughput and gives
 100% completion accounting: every started rollout is recorded exactly once
 (completed or budget-exhausted).
 
-Run: python benchmarks/bench_sustained.py [total] [batch] [steps] [chunk] [refill]
+Run: python benchmarks/bench_sustained.py [total] [batch] [steps] [chunk] [refill] [outfile] [cached]
+  cached: 'cached' -> plan-cached steady state (plan/plancache.py)
 Writes the JSON line to stdout AND benchmarks/SUSTAINED.json.
 """
 
@@ -48,6 +49,7 @@ def main():
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 150
     refill = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     outfile = sys.argv[6] if len(sys.argv) > 6 else "SUSTAINED.json"
+    cached = len(sys.argv) > 7 and sys.argv[7] == "cached"
     params = params_as_f32(AosParams())
 
     last = [0.0]
@@ -62,7 +64,7 @@ def main():
     res, stats = sustained_rollouts(
         total, batch, spec, params, S, steps,
         chunk_steps=chunk, refill=refill, ror_method="sorted",
-        on_progress=progress,
+        cached=cached, on_progress=progress,
     )
     wall = time.time() - t0
     done = int(res["completed"].sum())
@@ -70,6 +72,7 @@ def main():
     rps = stats["rollouts_per_sec"]
     result = {
         "metric": "mc_sustained_rollouts_per_sec_per_chip",
+        "plan_cached": cached,
         "grid": [S.grid_h, S.grid_w],
         "total_rollouts": total,
         "lanes": batch,
