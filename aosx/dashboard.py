@@ -120,6 +120,11 @@ def main():
     ap.add_argument("--device", type=str, default="default", choices=["default", "cpu"])
     ap.add_argument("--cells", action="store_true",
                     help="overlay the Voronoi ownership cells in the figure")
+    ap.add_argument("--cached", action="store_true",
+                    help="with --pcd-seq: run the full serving loop "
+                         "(incremental world gates + per-world plan cache, "
+                         "replan-free ticks) — bit-identical metrics to the "
+                         "replan-every-tick engine (tests/test_incremental.py)")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -158,8 +163,10 @@ def main():
         frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
         poly = load_polygon()
         steps_per_frame = max(args.steps // F, 1)
+        replay = (incremental.replay_episode_incremental_cached
+                  if args.cached else incremental.replay_episode_incremental)
         final, metrics = jax.jit(
-            lambda fr, pr: incremental.replay_episode_incremental(
+            lambda fr, pr: replay(
                 fr, poly, pr, excl, S, steps_per_frame, ror_method="exact")
         )(frames, params)
         levels = [int(v) for v in np.asarray(metrics.pop("inc_level"))]

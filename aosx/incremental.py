@@ -340,3 +340,78 @@ def replay_episode_incremental(
 
     (inc, st), metrics = jax.lax.scan(frame_body, (inc0, st0), pc_frames)
     return st, metrics
+
+
+def replay_episode_incremental_cached(
+    pc_frames: PointCloud,
+    poly: Polygon,
+    params: AosParams,
+    exclusions,
+    s: Statics,
+    steps_per_frame: int,
+    *,
+    ror_method: str = "exact",
+):
+    """replay_episode_incremental with replan-free control ticks: the full
+    production serving loop. Per frame, the incremental gates prove world
+    reuse (levels 0/1); the plan cache (plan/plancache.py) then makes every
+    control tick a row select instead of an A* + linearization. The cache is
+    rebuilt only when the graph actually changed (level >= 2), with the
+    currently published plan preserved exactly across the rebuild via the
+    carry row (keep-last-path, engine.py:193-199; the reference equally
+    keeps publishing the last path until the next successful replan,
+    aos_path_gen_node.cpp:1036-1043). Steady-state frame cost is therefore
+    the level-0 gate (~1.3 ms device) + ticks at microseconds each, while
+    every metric stays bit-identical to replay_episode_incremental /
+    engine.replay_episode (tests/test_incremental.py).
+
+    Single-instance only (inherits perceive_update's lax.cond structure —
+    do NOT vmap; the module docstring's vmapped-cond rule)."""
+    from .plan import plancache
+    from .plan.mission import rebuild_waypoints
+
+    inc0 = perceive_init(
+        jax.tree_util.tree_map(lambda x: x[0], pc_frames), poly, params,
+        exclusions, s, ror_method=ror_method)
+    cache0 = plancache.add_carry_row(
+        plancache.build_plan_cache(inc0.world, params, s), s)
+    st0 = plancache.initial_cached_state(inc0.world, s)
+
+    def frame_body(carry, pc_f):
+        inc, cache, st = carry
+        inc, level = perceive_update(inc, pc_f, poly, params, exclusions, s,
+                                     ror_method=ror_method)
+        mission, wp = rebuild_waypoints(st.mission, st.wp, inc.world.graph,
+                                        params, s)
+
+        def rebuild(args):
+            old_cache, _ = args
+            # wp (the post-rebuild carried tour) is the exact wp_base: see
+            # build_plan_cache's docstring for the completed-tour case
+            fresh = plancache.add_carry_row(
+                plancache.build_plan_cache(inc.world, params, s, wp_base=wp),
+                s)
+            fresh = plancache.carry_adopted_row(fresh, old_cache, st.adopted)
+            return fresh, jnp.int32(plancache.num_rows(s))
+
+        def keep(args):
+            return args
+
+        cache, adopted = jax.lax.cond(
+            level >= LEVEL_DOWNSTREAM, rebuild, keep, (cache, st.adopted))
+        lite = plancache.world_lite(inc.world)
+        st = plancache.CachedEngineState(
+            robot=st.robot, mission=mission, control=st.control, wp=wp,
+            adopted=adopted, last_mod=st.last_mod, t=st.t,
+        )
+
+        def tick(st, _):
+            return plancache.step_cached(st, lite, cache, params, s)
+
+        st, metrics = jax.lax.scan(tick, st, None, length=steps_per_frame)
+        metrics["inc_level"] = level
+        return (inc, cache, st), metrics
+
+    (inc, cache, st), metrics = jax.lax.scan(
+        frame_body, (inc0, cache0, st0), pc_frames)
+    return st, metrics

@@ -157,11 +157,14 @@ def render_world(world, state=None, metrics=None, ax=None, show_grid=True,
         ax.scatter(wxy[:, 0], wxy[:, 1], s=30, color="red", zorder=5)
 
     if state is not None:
-        plan = state.plan
-        pc = int(plan.count)
-        pxy = np.asarray(plan.xy)[:pc]
-        if pc:
-            ax.plot(pxy[:, 0], pxy[:, 1], "b-", lw=1.2, zorder=4)
+        # CachedEngineState (plan/plancache.py) carries a cache row index
+        # instead of a materialized plan; skip the path polyline for it
+        plan = getattr(state, "plan", None)
+        if plan is not None:
+            pc = int(plan.count)
+            pxy = np.asarray(plan.xy)[:pc]
+            if pc:
+                ax.plot(pxy[:, 0], pxy[:, 1], "b-", lw=1.2, zorder=4)
         ax.scatter(*np.asarray(state.robot.xy), marker="*", s=120, color="magenta", zorder=7)
 
     if metrics is not None:

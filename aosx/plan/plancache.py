@@ -129,12 +129,22 @@ def cache_row_index(mission: MissionState, s: Statics):
     ).astype(jnp.int32)
 
 
-def build_plan_cache(world, params: AosParams, s: Statics) -> PlanCache:
+def build_plan_cache(world, params: AosParams, s: Statics,
+                     wp_base=None) -> PlanCache:
     """Run plan_current_path + linearize for every reachable mission config
-    of this (static) world. One-time cost per rollout, vmapped over rows."""
+    of this (static) world. One-time cost per rollout, vmapped over rows.
+
+    wp_base is the waypoint tour the engine carries (default
+    world.waypoints, the closed-loop initial state). When rebuilding the
+    cache after a graph change mid-replay, pass the POST-rebuild_waypoints
+    carried wp: if exploration completed, that tour is the kept old tour
+    with origin appended, and _append_origin's 0.2 m near-guard makes the
+    W+1/W+2 re-append a no-op on it, so rows W+1/W+2 match the engine
+    exactly (rows 1..W are then never selected: origin_appended routes
+    cache_row_index to W+1/W+2 only)."""
     W = s.max_waypoints
     R = num_rows(s)
-    wp0 = world.waypoints
+    wp0 = world.waypoints if wp_base is None else wp_base
     wp2 = _append_origin(wp0, params)
     c2 = wp2.count
 
@@ -207,6 +217,50 @@ def build_plan_cache(world, params: AosParams, s: Statics) -> PlanCache:
         goal_yaw=goal_yaw,
         success=success,
         nonfinite=nf,
+    )
+
+
+def add_carry_row(cache: PlanCache, s: Statics) -> PlanCache:
+    """Append one CARRY row (index num_rows(s)) for dynamic-map replays.
+
+    engine.step keeps the last adopted raw path when a replan is frozen or
+    fails (engine.py:193-199), and a graph rebuild does not itself replan —
+    so across a rebuild the published /plan is still the OLD world's plan.
+    With an index-carried plan that content would be lost when the cache
+    rows are rebuilt; the carry row preserves it: on a rebuild, set it to
+    the old cache's adopted row (carry_adopted_row) and point adopted at it.
+    Initialized to the empty row W+4 (the engine's initial carried path).
+    cache_row_index never returns the carry index, so a successful replan
+    moves adoption back into rows 0..R-1."""
+    W4 = num_rows(s) - 1  # the empty-path row
+
+    def app(a):
+        return jnp.concatenate([a, a[W4:W4 + 1]], axis=0)
+
+    return PlanCache(
+        plan_xy=app(cache.plan_xy), plan_count=app(cache.plan_count),
+        goal_xy=app(cache.goal_xy), goal_yaw=app(cache.goal_yaw),
+        success=app(cache.success), nonfinite=app(cache.nonfinite),
+    )
+
+
+def carry_adopted_row(new_cache: PlanCache, old_cache: PlanCache,
+                      old_adopted) -> PlanCache:
+    """new_cache with its carry row := old_cache[old_adopted] (exact
+    keep-last-path across a world rebuild). Both caches must have the
+    carry row (add_carry_row); old_adopted may itself be the carry row."""
+    R = new_cache.plan_xy.shape[0] - 1
+
+    def put(a, b):
+        return a.at[R].set(b[old_adopted])
+
+    return PlanCache(
+        plan_xy=put(new_cache.plan_xy, old_cache.plan_xy),
+        plan_count=put(new_cache.plan_count, old_cache.plan_count),
+        goal_xy=put(new_cache.goal_xy, old_cache.goal_xy),
+        goal_yaw=put(new_cache.goal_yaw, old_cache.goal_yaw),
+        success=put(new_cache.success, old_cache.success),
+        nonfinite=put(new_cache.nonfinite, old_cache.nonfinite),
     )
 
 

@@ -267,3 +267,39 @@ def test_replay_incremental_matches_full_replay(setup):
     assert bool(np.asarray(final_i.mission.exploration_completed))
     # at least one frame actually reused work
     assert int(np.asarray(lv)[0]) == incremental.LEVEL_REUSE_WORLD
+
+
+def test_replay_incremental_cached_matches_incremental(setup):
+    """The full production serving loop — incremental world gates + plan
+    cache + carry row across rebuilds — reproduces
+    replay_episode_incremental bit-exactly on a growing map whose graph
+    changes mid-mission, and completes the mission. The first tick after a
+    rebuild reads the carry row (the control tick precedes the replan in
+    step_cached), so keep-last-path across rebuilds is exercised, not just
+    covered."""
+    bufs, valids, poly_j, params, excl = setup
+    frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
+
+    final_i, metrics_i = jax.jit(
+        lambda fr: incremental.replay_episode_incremental(
+            fr, poly_j, params, excl, S, steps_per_frame=1100,
+            ror_method="exact"),
+    )(frames)
+    final_c, metrics_c = jax.jit(
+        lambda fr: incremental.replay_episode_incremental_cached(
+            fr, poly_j, params, excl, S, steps_per_frame=1100,
+            ror_method="exact"),
+    )(frames)
+
+    lv_i = np.asarray(metrics_i.pop("inc_level"))
+    lv_c = np.asarray(metrics_c.pop("inc_level"))
+    assert np.array_equal(lv_i, lv_c)
+    assert set(metrics_i) == set(metrics_c)
+    for k in metrics_i:
+        assert np.array_equal(
+            np.asarray(metrics_i[k]), np.asarray(metrics_c[k])), k
+    for fld in ("robot", "mission", "control", "wp", "last_mod", "t"):
+        _assert_world_equal(getattr(final_i, fld), getattr(final_c, fld))
+    assert bool(np.asarray(final_c.mission.exploration_completed))
+    # the sequence must actually exercise a cache rebuild mid-mission
+    assert (lv_c >= incremental.LEVEL_DOWNSTREAM).any()
