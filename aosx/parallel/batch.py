@@ -307,13 +307,31 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     n_chunk_calls = 0
     n_begin_calls = 0
 
+    # AOSX_SYNC_DEBUG=1 synchronizes after every dispatch and prints a
+    # progress line — localizes WHICH device call fails/hangs when the axon
+    # backend degrades (CLAUDE.md: INVALID_ARGUMENT windows / hour-long
+    # hangs). Off by default: synchronizing would serialize the pipeline.
+    import os
+    import sys as _stderr_sys
+    _sync = os.environ.get("AOSX_SYNC_DEBUG", "") == "1"
+
+    def _dbg(tag, *trees):
+        if _sync:
+            for t in trees:
+                jax.block_until_ready(t)
+            print(f"# sync-debug: {tag} ok", file=_stderr_sys.stderr, flush=True)
+
     # initial fill, in refill-sized groups (one compile for begin)
     assert batch % refill == 0, (batch, refill)
-    parts = [begin(keys[i:i + refill]) for i in range(0, batch, refill)]
+    parts = []
+    for i in range(0, batch, refill):
+        parts.append(begin(keys[i:i + refill]))
+        _dbg(f"begin[{i}:{i + refill}]", parts[-1])
     n_begin_calls += len(parts)
     world_b, st_b, acc_b = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts
     )
+    _dbg("concat", (world_b, st_b, acc_b))
 
     # compile the steady-state callables BEFORE the timed region so the
     # sustained number measures throughput, not first-call compilation
@@ -321,12 +339,16 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     idx0 = jnp.arange(refill, dtype=jnp.int32)
     new0 = jax.tree_util.tree_map(lambda a: a[:refill], (world_b, st_b, acc_b))
     chunk.lower(world_b, st_b, acc_b, ages_dev).compile()
+    _dbg("aot chunk")
     finish.lower(st_b, acc_b).compile()
+    _dbg("aot finish")
     scatter.lower((world_b, st_b, acc_b), new0, idx0).compile()
+    _dbg("aot scatter")
 
     t0 = time.perf_counter()
     while n_recorded < total:
         st_b, acc_b = chunk(world_b, st_b, acc_b, jnp.asarray(ages))
+        _dbg(f"chunk#{n_chunk_calls}", (st_b, acc_b))
         n_chunk_calls += 1
         ages += chunk_steps
         comp = np.asarray(st_b.mission.exploration_completed)

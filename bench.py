@@ -167,14 +167,30 @@ def main():
     # steady-state SLAM-loop cost (aosx.incremental): pre-measured by
     # benchmarks/bench_incremental.py on the same orchard/scale; bit-exact
     # reuse levels, see FLOOR.md section 2
-    inc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "INCREMENTAL.json")
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    inc_path = os.path.join(bdir, "INCREMENTAL.json")
     if os.path.exists(inc_path):
         with open(inc_path) as f:
             inc = json.load(f)
         result["incremental_update_device_ms"] = {
             k: v["device_ms"] for k, v in inc["scenarios"].items()
         }
+    # Monte-Carlo throughput (BASELINE config 5): sustained lane-refill
+    # artifacts pre-measured by benchmarks/bench_sustained.py on this chip
+    for fname, out_key in (
+        ("SUSTAINED.json", "mc_sustained_rollouts_per_sec_per_chip"),
+        ("SUSTAINED_CACHED.json", "mc_sustained_plan_cached_rollouts_per_sec_per_chip"),
+    ):
+        p = os.path.join(bdir, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                result[out_key] = json.load(f)["rollouts_per_sec_per_chip"]
+    # steady-state closed-loop tick (plan cache; bench_cached_step.py)
+    p = os.path.join(bdir, "CACHED_STEP.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            result["cached_closed_loop_tick_device_us"] = \
+                json.load(f)["per_tick_device_us"]
     print(json.dumps(result))
 
 

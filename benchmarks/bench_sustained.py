@@ -27,6 +27,15 @@ import numpy as np
 def main():
     import jax
 
+    # fail-fast chip liveness: the axon backend can hang for hours on ANY
+    # eager op (CLAUDE.md). The fetch below either prints quickly or hangs
+    # BEFORE any bench logic, so a silent stall = dead chip, not a bug here.
+    import jax.numpy as _jnp
+    _t = time.time()
+    assert float(np.asarray(_jnp.ones((8, 128)) * 2).sum()) == 2048.0
+    print(f"# chip alive ({(time.time() - _t) * 1e3:.0f} ms round-trip)",
+          file=_sys.stderr, flush=True)
+
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
