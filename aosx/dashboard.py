@@ -165,19 +165,26 @@ def main():
         steps_per_frame = max(args.steps // F, 1)
         replay = (incremental.replay_episode_incremental_cached
                   if args.cached else incremental.replay_episode_incremental)
-        final, metrics = jax.jit(
+        final, metrics, inc = jax.jit(
             lambda fr, pr: replay(
-                fr, poly, pr, excl, S, steps_per_frame, ror_method="exact")
+                fr, poly, pr, excl, S, steps_per_frame, ror_method="exact",
+                return_inc=True)
         )(frames, params)
         levels = [int(v) for v in np.asarray(metrics.pop("inc_level"))]
         metrics = jax.tree_util.tree_map(
             lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), metrics)
-        # final-frame world for the report figure / saved map
-        pc_last = jax.tree_util.tree_map(lambda x: x[-1], frames)
-        world, perceive_out, owner = jax.jit(
-            lambda pc, poly, pr, ex: engine.prepare_world_full(
-                pc, poly, pr, ex, S, ror_method="exact", with_owner=True)
-        )(pc_last, poly, params, excl)
+        # the replay's final IncrementalState already holds the last frame's
+        # world — no duplicate from-scratch pass for the figure/saved map
+        world, perceive_out = inc.world, inc.out
+        owner = None
+        if args.cells:
+            from .gvd.graph import merge_seeds
+            from .gvd.voronoi import jump_flood
+
+            owner = jax.jit(
+                lambda o, pr: jump_flood(
+                    o.skeleton, merge_seeds(o.seeds, pr, S), S)
+            )(perceive_out, params)
 
         report = episode_report(final, metrics, S)
         report["incremental_levels"] = levels

@@ -88,28 +88,35 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
     (see perceive.pipeline)."""
     out = perceive(pc, poly, params, exclusions, s, ror_method=ror_method,
                    stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
-    graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s,
-                            stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
-    costmat = cost_matrix(graph, s)
-    wp = build_waypoints(graph, params, s)
+    world = world_from_perceive(out, params, s, stencil_mesh=stencil_mesh,
+                                stencil_axis=stencil_axis)
     owner = None
     if with_owner:
         from .gvd.graph import merge_seeds
         from .gvd.voronoi import jump_flood
 
         owner = jump_flood(out.skeleton, merge_seeds(out.seeds, params, s), s)
+    return world, out, owner
+
+
+def world_from_perceive(out, params: AosParams, s: Statics, *,
+                        stencil_mesh=None, stencil_axis: str = "space") -> World:
+    """Graph + costmat + waypoints + trim plane from a PerceiveOut: the
+    world-assembly tail shared by prepare_world_full and the incremental
+    path (aosx/incremental.py), so their bit-equivalence is structural."""
+    graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s,
+                            stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
     from .plan.mission import trim_dilated_plane
 
-    world = World(
+    return World(
         skeleton=out.skeleton,
         occupancy=out.occupancy,
         graph=graph,
-        costmat=costmat,
-        waypoints=wp,
+        costmat=cost_matrix(graph, s),
+        waypoints=build_waypoints(graph, params, s),
         guards=out.guards | graph.guards,
         trim_skel=trim_dilated_plane(out.skeleton, s),
     )
-    return world, out, owner
 
 
 def prepare_world(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,

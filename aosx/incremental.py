@@ -38,6 +38,13 @@ their coordinates; new points appear in previously-invalid slots. Violations
 are DETECTED in-jit and handled by the exact fallback, so the contract is
 about speed, not correctness.
 
+ror_method note: the delta cross pass is always exact, so with
+ror_method="sorted" an incremental frame equals a from-scratch SORTED pass
+only while the sorted sweep's span precondition holds on the new set (the
+usual case; when it would fire GUARD_ROR_SPAN, from-scratch is the
+approximate side and the incremental counts are strictly better). The
+parity tests pin ror_method="exact", where the equivalence is unconditional.
+
 Everything runs inside one jit; the gates are lax.cond, which on the
 single-instance replay path executes only the taken branch. Do NOT vmap
 perceive_update (a vmapped cond executes both branches - CLAUDE.md); the
@@ -53,17 +60,10 @@ import jax
 import jax.numpy as jnp
 
 from .config import AosParams, Statics
-from .engine import World
 from .geom import active_bounds
-from .gvd import build_gvd_graph
 from .perceive import points as _points
 from .perceive import raster as _raster
-from .perceive import rows as _rows
-from .perceive import seeds as _seeds
 from .perceive import skeleton as _skeleton
-from .perceive.pipeline import PerceiveOut
-from .plan.astar import cost_matrix
-from .plan.mission import build_waypoints, trim_dilated_plane
 from .types import PointCloud, Polygon
 
 
@@ -83,6 +83,10 @@ class IncrementalState:
     cnt: Any        # [N] i32 ROR neighbor counts (meaningful where valid)
     keep: Any       # [N] bool final preprocess keep mask
     inflated: Any   # GridWorld (dilated, pre-borders)
+    pre_guards: Any  # i32 PREPROCESS-era guard bits only (GUARD_ROR_SPAN);
+    # kept separate so a level-2 downstream recompute reseeds cluster/graph
+    # guards from scratch instead of accumulating stale bits from earlier
+    # frames (out.guards == pre_guards | clusters; world.guards adds graph)
     out: Any        # PerceiveOut
     world: Any      # engine.World
 
@@ -95,36 +99,16 @@ LEVEL_FULL = 3           # contract violated / delta overflow: from scratch
 
 
 def _downstream(skel, inflated, poly, params: AosParams, s: Statics,
-                base_guards):
-    """The perceive tail + graph build, identical to
-    perceive.pipeline.perceive (clusters..skeleton_pub) composed with
-    engine.prepare_world_full (graph/costmat/waypoints/trim)."""
+                pre_guards):
+    """The perceive tail + world assembly, by construction identical to
+    perceive.pipeline.perceive composed with engine.prepare_world_full
+    (both call the same shared helpers)."""
+    from .engine import world_from_perceive
+    from .perceive.pipeline import perceive_tail
+
     occupancy = _raster.mark_borders(inflated)
-    clusters = _rows.cluster_grid(skel, poly, params, s)
-    rows = _rows.rows_from_clusters(clusters, skel, poly, params, s)
-    rows_sorted = _rows.sort_rows(rows)
-    seeds = _seeds.generate_seeds(rows, skel, poly, params, s)
-    skeleton_pub = _raster.mark_polygon_rect(skel, poly, params.polygon_margin, s)
-    out = PerceiveOut(
-        occupancy=occupancy,
-        skeleton=skel,
-        skeleton_pub=skeleton_pub,
-        rows=rows,
-        rows_sorted=rows_sorted,
-        seeds=seeds,
-        guards=base_guards | clusters["guards"],
-    )
-    graph = build_gvd_graph(seeds, rows_sorted, skel, params, s)
-    world = World(
-        skeleton=skel,
-        occupancy=occupancy,
-        graph=graph,
-        costmat=cost_matrix(graph, s),
-        waypoints=build_waypoints(graph, params, s),
-        guards=out.guards | graph.guards,
-        trim_skel=trim_dilated_plane(skel, s),
-    )
-    return out, world
+    out = perceive_tail(skel, occupancy, poly, params, s, pre_guards)
+    return out, world_from_perceive(out, params, s)
 
 
 def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
@@ -139,7 +123,7 @@ def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
     out, world = _downstream(skel, inflated, poly, params, s, guards)
     return IncrementalState(
         xyz=pc.xyz, valid=valid, cnt=cnt, keep=keep,
-        inflated=inflated, out=out, world=world,
+        inflated=inflated, pre_guards=guards, out=out, world=world,
     )
 
 
@@ -256,7 +240,8 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
 
         carried = IncrementalState(
             xyz=xyz_new, valid=valid_new, cnt=cnt, keep=keep,
-            inflated=inflated, out=st.out, world=st.world,
+            inflated=inflated, pre_guards=st.pre_guards, out=st.out,
+            world=st.world,
         )
 
         def unchanged_branch(c):
@@ -278,11 +263,12 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
                 )
 
             def recompute_down(c):
-                # carry the preprocess-era guard bits (e.g. GUARD_ROR_SPAN
-                # from init); the delta pass itself is exact
-                base_guards = c.out.guards
+                # seed with the preprocess-era bits ONLY (the delta pass is
+                # exact and adds none): c.out.guards would also carry the
+                # PREVIOUS skeleton's cluster-stage bits, which a fresh
+                # from-scratch pass on this frame would not set
                 out, world = _downstream(skel, inflated, poly, params, s,
-                                         base_guards)
+                                         c.pre_guards)
                 return (
                     dataclasses.replace(c, out=out, world=world),
                     jnp.int32(LEVEL_DOWNSTREAM),
@@ -307,11 +293,14 @@ def replay_episode_incremental(
     steps_per_frame: int,
     *,
     ror_method: str = "exact",
+    return_inc: bool = False,
 ):
     """Drop-in replacement for engine.replay_episode that reuses unchanged
     work across frames. Same mission semantics (target restoration across
     rebuilds, aos_path_gen_node.cpp:456-560); per-frame metrics additionally
-    carry `inc_level`, the update level taken ([F] i32)."""
+    carry `inc_level`, the update level taken ([F] i32). return_inc=True
+    additionally returns the final IncrementalState, whose .world/.out are
+    the last frame's (saves consumers a duplicate from-scratch pass)."""
     from .engine import EngineState, initial_state, step
     from .plan.mission import rebuild_waypoints
 
@@ -339,7 +328,7 @@ def replay_episode_incremental(
         return (inc, st), metrics
 
     (inc, st), metrics = jax.lax.scan(frame_body, (inc0, st0), pc_frames)
-    return st, metrics
+    return (st, metrics, inc) if return_inc else (st, metrics)
 
 
 def replay_episode_incremental_cached(
@@ -351,6 +340,7 @@ def replay_episode_incremental_cached(
     steps_per_frame: int,
     *,
     ror_method: str = "exact",
+    return_inc: bool = False,
 ):
     """replay_episode_incremental with replan-free control ticks: the full
     production serving loop. Per frame, the incremental gates prove world
@@ -392,6 +382,11 @@ def replay_episode_incremental_cached(
                 plancache.build_plan_cache(inc.world, params, s, wp_base=wp),
                 s)
             fresh = plancache.carry_adopted_row(fresh, old_cache, st.adopted)
+            # target restoration keeps prev_wp, which can violate the rows'
+            # prev == target-1 encoding until the next advance; pin the live
+            # config's row to its actual plan (plancache.pin_live_row)
+            fresh = plancache.pin_live_row(fresh, inc.world, mission, wp,
+                                           params, s)
             return fresh, jnp.int32(plancache.num_rows(s))
 
         def keep(args):
@@ -414,4 +409,4 @@ def replay_episode_incremental_cached(
 
     (inc, cache, st), metrics = jax.lax.scan(
         frame_body, (inc0, cache0, st0), pc_frames)
-    return st, metrics
+    return (st, metrics, inc) if return_inc else (st, metrics)

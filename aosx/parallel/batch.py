@@ -268,6 +268,9 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     assert total >= batch, (total, batch)
     # every queued key must eventually start: refill groups are fixed-size
     assert (total - batch) % refill == 0, (total, batch, refill)
+    # lanes retire only at chunk boundaries; a non-divisible budget would let
+    # lanes overrun it and record results a fixed-budget rollout couldn't
+    assert steps_budget % chunk_steps == 0, (steps_budget, chunk_steps)
 
     if cached:
         # "world" = (WorldLite, PlanCache); the full World is freed at the

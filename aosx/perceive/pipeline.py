@@ -64,6 +64,17 @@ def perceive(
         inflated = _raster.inflate(grid, s)
         occupancy = _raster.mark_borders(inflated)
         skel = _skeleton.skeletonize(inflated, s)
+    return perceive_tail(skel, occupancy, poly, params, s, guards)
+
+
+def perceive_tail(skel, occupancy, poly: Polygon, params: AosParams,
+                  s: Statics, pre_guards) -> PerceiveOut:
+    """Everything downstream of the skeleton (clusters -> rows -> seeds ->
+    published grids): a pure function of (skeleton, occupancy, polygon,
+    params). Shared by perceive() and the incremental path
+    (aosx/incremental.py) so their bit-equivalence is structural, not
+    copy-maintained. pre_guards = the preprocess-era guard bits to seed
+    the output bitmask with."""
     clusters = _rows.cluster_grid(skel, poly, params, s)
     rows = _rows.rows_from_clusters(clusters, skel, poly, params, s)
     rows_sorted = _rows.sort_rows(rows)
@@ -76,5 +87,5 @@ def perceive(
         rows=rows,
         rows_sorted=rows_sorted,
         seeds=seeds,
-        guards=guards | clusters["guards"],
+        guards=pre_guards | clusters["guards"],
     )

@@ -264,6 +264,40 @@ def carry_adopted_row(new_cache: PlanCache, old_cache: PlanCache,
     )
 
 
+def pin_live_row(cache: PlanCache, world, mission: MissionState,
+                 wp: Waypoints, params: AosParams, s: Statics) -> PlanCache:
+    """Overwrite the row cache_row_index(mission) selects with the plan for
+    the ACTUAL (prev_wp, target_wp) pair of this mission state.
+
+    The row encoding assumes prev_wp == target_wp - 1 mid-tour (and the
+    c2-1/c2-2 pairs at the origin rows), which every mission_tick advance
+    preserves (prev := old target). But rebuild_waypoints restores target_wp
+    by POSITION while keeping prev_wp (plan/mission.py:214-277) — so right
+    after a graph rebuild the live config can violate the encoding, and
+    engine.step plans from wp[prev_wp] regardless (the reference replans
+    from the previous waypoint, aos_path_gen_node.cpp:1046-1060). One extra
+    plan_current_path + linearize per rebuild, keyed on the live config,
+    restores exact bit-identity; the anomalous pair can only exist until
+    the next advance, which re-establishes the encoding."""
+    raw, success = plan_current_path(
+        mission, wp, world.graph, world.costmat, world.skeleton, params, s,
+        trim_plane=world.trim_skel,
+    )
+    plan = linearize(raw, params, s)
+    r = cache_row_index(mission, s)
+    gi = jnp.maximum(plan.count - 1, 0)
+    nf = (jnp.sum((~jnp.isfinite(plan.xy)).astype(jnp.int32))
+          + jnp.sum((~jnp.isfinite(raw.xy)).astype(jnp.int32)))
+    return PlanCache(
+        plan_xy=cache.plan_xy.at[r].set(plan.xy),
+        plan_count=cache.plan_count.at[r].set(plan.count),
+        goal_xy=cache.goal_xy.at[r].set(plan.xy[gi]),
+        goal_yaw=cache.goal_yaw.at[r].set(plan.yaw[gi]),
+        success=cache.success.at[r].set(success),
+        nonfinite=cache.nonfinite.at[r].set(nf),
+    )
+
+
 def initial_cached_state(world, s: Statics) -> CachedEngineState:
     from ..engine import initial_state
 

@@ -303,3 +303,49 @@ def test_replay_incremental_cached_matches_incremental(setup):
     assert bool(np.asarray(final_c.mission.exploration_completed))
     # the sequence must actually exercise a cache rebuild mid-mission
     assert (lv_c >= incremental.LEVEL_DOWNSTREAM).any()
+
+
+def test_level2_recompute_reseeds_guards(setup):
+    """A level-2 downstream recompute must not inherit the previous
+    skeleton's cluster/graph guard bits: out.guards is rebuilt from the
+    PREPROCESS-era bits (IncrementalState.pre_guards) plus this frame's
+    cluster guards, exactly like a from-scratch pass. A stale bit would
+    otherwise accumulate forever (and hard-invalidate lanes in fast-only
+    MC mode)."""
+    import dataclasses
+
+    from aosx.guards import GUARD_CLUSTER_LEN
+
+    bufs, valids, poly_j, params, excl = setup
+    upd = jax.jit(
+        lambda st, pc: incremental.perceive_update(st, pc, poly_j, params,
+                                                   excl, S),
+    )
+    scratch = jax.jit(
+        lambda pc: engine.prepare_world_full(pc, poly_j, params, excl, S,
+                                             ror_method="exact")[:2],
+    )
+    st = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )(_pc(bufs, valids, 0))
+    # simulate a previous frame whose cluster stage tripped a guard
+    st = dataclasses.replace(
+        st,
+        out=dataclasses.replace(st.out, guards=st.out.guards
+                                | GUARD_CLUSTER_LEN),
+        world=dataclasses.replace(st.world, guards=st.world.guards
+                                  | GUARD_CLUSTER_LEN),
+    )
+
+    hit_level2 = False
+    for f in (1, 2):
+        st, level = upd(st, _pc(bufs, valids, f))
+        if int(level) == incremental.LEVEL_DOWNSTREAM:
+            hit_level2 = True
+            world_ref, out_ref = scratch(_pc(bufs, valids, f))
+            assert int(np.asarray(st.out.guards)) == \
+                int(np.asarray(out_ref.guards))
+            assert int(np.asarray(st.world.guards)) == \
+                int(np.asarray(world_ref.guards))
+            break
+    assert hit_level2, "fixture no longer produces a level-2 frame"

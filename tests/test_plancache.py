@@ -166,3 +166,62 @@ def test_cache_row_index_covers_lifecycle(world):
         else:
             # origin rows W+1 / W+2 both plan to the appended origin
             assert t == n0, (t, n0)
+
+
+def test_pin_live_row_covers_restored_target(world):
+    """After a graph rebuild, rebuild_waypoints restores target_wp by
+    position but KEEPS prev_wp (plan/mission.py:214-277), so the live
+    mission config can violate the cache rows' prev == target-1 encoding —
+    engine.step plans from wp[prev_wp] regardless. pin_live_row overwrites
+    the selected row with the actual-config plan; without it the cached
+    trajectory silently diverges (asserted below, so this test has teeth)."""
+    import dataclasses
+
+    from aosx.types import MissionState
+
+    w, params = world
+    mission = MissionState(
+        target_wp=jnp.int32(2), prev_wp=jnp.int32(0),  # NOT target-1
+        initial_reached=jnp.bool_(True),
+        exploration_completed=jnp.bool_(False),
+        waiting_for_docking=jnp.bool_(False),
+        status=jnp.int32(0), origin_appended=jnp.bool_(False),
+    )
+    st0 = engine.initial_state(w, S)
+    st0 = dataclasses.replace(st0, mission=mission)
+
+    K = 300
+
+    def run_engine(w, p):
+        def tick(st, _):
+            return engine.step(st, w, p, S)
+        return jax.lax.scan(tick, st0, None, length=K)
+
+    def run_cached(w, p, pin):
+        cache = plancache.build_plan_cache(w, p, S)
+        if pin:
+            cache = plancache.pin_live_row(cache, w, mission,
+                                           w.waypoints, p, S)
+        lite = plancache.world_lite(w)
+        stc = plancache.initial_cached_state(w, S)
+        stc = plancache.CachedEngineState(
+            robot=stc.robot, mission=mission, control=stc.control,
+            wp=stc.wp, adopted=stc.adopted, last_mod=stc.last_mod, t=stc.t,
+        )
+
+        def tick(st, _):
+            return plancache.step_cached(st, lite, cache, p, S)
+        return jax.lax.scan(tick, stc, None, length=K)
+
+    _, m_ref = jax.jit(run_engine)(w, params)
+    _, m_pin = jax.jit(lambda w, p: run_cached(w, p, True))(w, params)
+    _, m_bad = jax.jit(lambda w, p: run_cached(w, p, False))(w, params)
+
+    for k in m_ref:
+        assert np.array_equal(_bits(m_ref[k]), _bits(m_pin[k])), k
+    # the unpinned cache must actually diverge on this config, proving the
+    # encoding violation is exercised (prev=0 plans a different start than
+    # the row's assumed prev=1)
+    assert any(
+        not np.array_equal(_bits(m_ref[k]), _bits(m_bad[k])) for k in m_ref
+    ), "fixture failed to exercise the prev_wp mismatch"
