@@ -349,3 +349,41 @@ def test_prepare_world_sharded_stencils(params):
     for lr, ls in zip(jax.tree_util.tree_leaves(w_ref),
                       jax.tree_util.tree_leaves(w_sh)):
         assert np.array_equal(np.asarray(lr), np.asarray(ls))
+
+
+def test_shard_map_cached_rollouts(params):
+    """C17 x plan cache: the plan-cached chunked rollout (begin_cached +
+    chunk_cached + finish) shard_maps across the mesh 'data' axis and equals
+    the single-device vmapped result exactly — the cached MC path composes
+    with the distribution substrate, not just with vmap."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from aosx.parallel.batch import (
+        rollout_begin_cached, rollout_chunk_cached, rollout_finish,
+    )
+
+    cpus = jax.devices("cpu")
+    n_dev = min(len(cpus), 8)
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(cpus[:n_dev]), ("data",))
+    keys = jax.random.split(jax.random.PRNGKey(11), n_dev)
+    n_steps, chunk = 40, 20
+
+    def lane(k):
+        lite, cache, st, acc = rollout_begin_cached(
+            k, SPEC, params, S, n_steps, ror_method="exact")
+        for c in range(n_steps // chunk):
+            st, acc = rollout_chunk_cached(
+                lite, cache, st, acc, params, S, chunk, jnp.int32(chunk * c))
+        return rollout_finish(st, acc, S)
+
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(jax.vmap(lane))(keys)
+        got = jax.jit(jax.shard_map(
+            jax.vmap(lane), mesh=mesh, in_specs=P("data"),
+            out_specs=P("data"), check_vma=False,
+        ))(keys)
+    for name in ref:
+        assert np.array_equal(np.asarray(ref[name]),
+                              np.asarray(got[name])), name
