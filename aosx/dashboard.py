@@ -178,12 +178,8 @@ def main():
         world, perceive_out = inc.world, inc.out
         owner = None
         if args.cells:
-            from .gvd.graph import merge_seeds
-            from .gvd.voronoi import jump_flood
-
             owner = jax.jit(
-                lambda o, pr: jump_flood(
-                    o.skeleton, merge_seeds(o.seeds, pr, S), S)
+                lambda o, pr: engine.owner_plane(o, pr, S)
             )(perceive_out, params)
 
         report = episode_report(final, metrics, S)

@@ -90,13 +90,18 @@ def prepare_world_full(pc: PointCloud, poly: Polygon, params: AosParams,
                    stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
     world = world_from_perceive(out, params, s, stencil_mesh=stencil_mesh,
                                 stencil_axis=stencil_axis)
-    owner = None
-    if with_owner:
-        from .gvd.graph import merge_seeds
-        from .gvd.voronoi import jump_flood
-
-        owner = jump_flood(out.skeleton, merge_seeds(out.seeds, params, s), s)
+    owner = owner_plane(out, params, s) if with_owner else None
     return world, out, owner
+
+
+def owner_plane(out, params: AosParams, s: Statics):
+    """Voronoi ownership plane for the renderer's cell overlay — the one
+    merge_seeds + jump_flood composition, shared by prepare_world_full's
+    with_owner path and the dashboard's --pcd-seq --cells path."""
+    from .gvd.graph import merge_seeds
+    from .gvd.voronoi import jump_flood
+
+    return jump_flood(out.skeleton, merge_seeds(out.seeds, params, s), s)
 
 
 def world_from_perceive(out, params: AosParams, s: Statics, *,

@@ -203,21 +203,19 @@ def build_plan_cache(world, params: AosParams, s: Statics,
     )
     success = success.at[W + 4].set(False)
 
-    gi = jnp.maximum(plans.count - 1, 0)
-    goal_xy = jnp.take_along_axis(plans.xy, gi[:, None, None], axis=1)[:, 0]
-    goal_yaw = jnp.take_along_axis(plans.yaw, gi[:, None], axis=1)[:, 0]
-    nf = (
-        jnp.sum((~jnp.isfinite(plans.xy)).astype(jnp.int32), axis=(1, 2))
-        + jnp.sum((~jnp.isfinite(raws.xy)).astype(jnp.int32), axis=(1, 2))
-    )
-    return PlanCache(
-        plan_xy=plans.xy,
-        plan_count=plans.count,
-        goal_xy=goal_xy,
-        goal_yaw=goal_yaw,
-        success=success,
-        nonfinite=nf,
-    )
+    return PlanCache(**jax.vmap(_row_payload)(raws, plans, success))
+
+
+def _row_payload(raw: Path, plan: Path, success) -> dict:
+    """One cache row's payload from a (raw, linearized) plan pair. Shared by
+    build_plan_cache (vmapped over rows) and pin_live_row so the goal /
+    nonfinite formulas cannot drift between built and pinned rows — they are
+    bit-exactness-critical (step_cached metrics must match engine.step)."""
+    gi = jnp.maximum(plan.count - 1, 0)
+    nf = (jnp.sum((~jnp.isfinite(plan.xy)).astype(jnp.int32))
+          + jnp.sum((~jnp.isfinite(raw.xy)).astype(jnp.int32)))
+    return dict(plan_xy=plan.xy, plan_count=plan.count, goal_xy=plan.xy[gi],
+                goal_yaw=plan.yaw[gi], success=success, nonfinite=nf)
 
 
 def add_carry_row(cache: PlanCache, s: Statics) -> PlanCache:
@@ -283,19 +281,11 @@ def pin_live_row(cache: PlanCache, world, mission: MissionState,
         mission, wp, world.graph, world.costmat, world.skeleton, params, s,
         trim_plane=world.trim_skel,
     )
-    plan = linearize(raw, params, s)
+    pay = _row_payload(raw, linearize(raw, params, s), success)
     r = cache_row_index(mission, s)
-    gi = jnp.maximum(plan.count - 1, 0)
-    nf = (jnp.sum((~jnp.isfinite(plan.xy)).astype(jnp.int32))
-          + jnp.sum((~jnp.isfinite(raw.xy)).astype(jnp.int32)))
-    return PlanCache(
-        plan_xy=cache.plan_xy.at[r].set(plan.xy),
-        plan_count=cache.plan_count.at[r].set(plan.count),
-        goal_xy=cache.goal_xy.at[r].set(plan.xy[gi]),
-        goal_yaw=cache.goal_yaw.at[r].set(plan.yaw[gi]),
-        success=cache.success.at[r].set(success),
-        nonfinite=cache.nonfinite.at[r].set(nf),
-    )
+    return PlanCache(**{
+        k: getattr(cache, k).at[r].set(v) for k, v in pay.items()
+    })
 
 
 def initial_cached_state(world, s: Statics) -> CachedEngineState:
