@@ -305,6 +305,68 @@ def test_replay_incremental_cached_matches_incremental(setup):
     assert (lv_c >= incremental.LEVEL_DOWNSTREAM).any()
 
 
+def test_incremental_fuzz_parity():
+    """Randomized differential fuzz: random orchard shapes, random growing
+    frame schedules, and an injected contract violation — every update must
+    be bit-identical to the from-scratch pass on the same frame regardless
+    of which reuse level the gates pick. Shapes are constant across
+    scenarios so the three jits compile once."""
+    _FUZZ_PARAMS = params_as_f32(AosParams())
+    _FUZZ_EXCL = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    init = jax.jit(
+        lambda pc, poly: incremental.perceive_init(
+            pc, poly, _FUZZ_PARAMS, _FUZZ_EXCL, S),
+    )
+    upd = jax.jit(
+        lambda st, pc, poly: incremental.perceive_update(
+            st, pc, poly, _FUZZ_PARAMS, _FUZZ_EXCL, S),
+    )
+    scratch = jax.jit(
+        lambda pc, poly: engine.prepare_world_full(
+            pc, poly, _FUZZ_PARAMS, _FUZZ_EXCL, S, ror_method="exact")[:2],
+    )
+
+    rng = np.random.default_rng(2026)
+    for case in range(3):
+        spec = OrchardSpec(
+            n_rows=int(rng.integers(2, 5)),
+            row_len=float(rng.uniform(8.0, 14.0)),
+            row_spacing=float(rng.uniform(3.5, 5.0)),
+            origin=(float(rng.uniform(4.0, 7.0)), float(rng.uniform(3.0, 5.0))),
+            noise_pts=int(rng.integers(16, 64)),
+        )
+        fracs = np.sort(rng.uniform(0.4, 0.95, size=2)).tolist() + [1.0]
+        bufs, valids, poly = _frames(fracs, seed=int(rng.integers(0, 1 << 16)),
+                                     spec=spec)
+        poly_j = Polygon.from_array(poly.astype(np.float32), S)
+
+        st = init(_pc(bufs, valids, 0), poly_j)
+        seen = []
+        for f in range(3):
+            st, level = upd(st, _pc(bufs, valids, f), poly_j)
+            seen.append(int(level))
+            world_ref, out_ref = scratch(_pc(bufs, valids, f), poly_j)
+            _assert_world_equal(st.world, world_ref)
+            _assert_world_equal(st.out, out_ref)
+
+        # injected violation: move one valid point (loop closure) -> the
+        # exact fallback must fire and still match from-scratch
+        bufs_mv = bufs[2].copy()
+        first = int(np.flatnonzero(valids[2])[0])
+        bufs_mv[first, 1] += float(rng.uniform(0.2, 0.6))
+        pc_mv = PointCloud(xyz=jnp.asarray(bufs_mv), valid=jnp.asarray(valids[2]))
+        st, level = upd(st, pc_mv, poly_j)
+        assert int(level) == incremental.LEVEL_FULL, (case, seen)
+        world_ref, out_ref = scratch(pc_mv, poly_j)
+        _assert_world_equal(st.world, world_ref)
+        _assert_world_equal(st.out, out_ref)
+
+        # re-feed of the same frame: empty delta -> full reuse, still equal
+        st, level = upd(st, pc_mv, poly_j)
+        assert int(level) == incremental.LEVEL_REUSE_WORLD, (case, seen)
+        _assert_world_equal(st.world, world_ref)
+
+
 def test_level2_recompute_reseeds_guards(setup):
     """A level-2 downstream recompute must not inherit the previous
     skeleton's cluster/graph guard bits: out.guards is rebuilt from the

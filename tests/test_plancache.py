@@ -70,6 +70,40 @@ def test_episode_cached_bit_identical(world):
     assert int(np.asarray(cache.plan_count)[int(final_c.adopted)]) == int(final.plan.count)
 
 
+def test_episode_cached_fuzz_random_orchards(world):
+    """Randomized differential fuzz: the cached episode must equal the
+    replan-every-tick episode metric-for-metric (bitwise) on random orchard
+    instances — different graphs, waypoint counts, docking sequences, and
+    lifecycle lengths than the fixture. Completion is NOT required: whatever
+    the mission does (succeed, stall, fail planning), both engines must do
+    the same thing. Shapes are constant so the two jits compile once."""
+    _, params = world
+    spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0), noise_pts=64)
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    build = jax.jit(
+        lambda pc, poly: engine.prepare_world(pc, poly, params, excl, S,
+                                              ror_method="exact"))
+    n_steps = 2000
+    run = jax.jit(lambda w, p: engine.episode(w, p, S, n_steps))
+    run_c = jax.jit(lambda w, p: plancache.episode_cached(w, p, S, n_steps))
+
+    for seed in (11, 17, 23):
+        pc, poly = make_orchard(jax.random.PRNGKey(seed), spec, S)
+        w = build(pc, poly)
+        final, metrics = run(w, params)
+        final_c, metrics_c = run_c(w, params)
+        for k in metrics:
+            assert np.array_equal(_bits(metrics[k]), _bits(metrics_c[k])), \
+                f"seed {seed}: metric {k!r} diverged"
+        assert np.array_equal(_bits(final.robot.xy), _bits(final_c.robot.xy)), seed
+        for f in ("target_wp", "prev_wp", "initial_reached", "origin_appended",
+                  "exploration_completed", "waiting_for_docking", "status"):
+            assert np.array_equal(
+                np.asarray(getattr(final.mission, f)),
+                np.asarray(getattr(final_c.mission, f)),
+            ), f"seed {seed}: mission.{f} diverged"
+
+
 def test_cached_chunked_rollout_matches_plain(world):
     """The batched MC path: begin_cached + chunks + finish must equal the
     plain chunked rollout field-for-field (travel is accumulated identically
