@@ -355,58 +355,32 @@ def replay_episode_incremental_cached(
     every metric stays bit-identical to replay_episode_incremental /
     engine.replay_episode (tests/test_incremental.py).
 
+    This replay is the lax.scan composition of the live streaming API
+    (serving.serve_init / serve_map_frame / step_cached) over a recorded
+    sequence — one code path, so these parity pins also cover serving.
+
     Single-instance only (inherits perceive_update's lax.cond structure —
     do NOT vmap; the module docstring's vmapped-cond rule)."""
+    from . import serving
     from .plan import plancache
-    from .plan.mission import rebuild_waypoints
 
-    inc0 = perceive_init(
+    sv0 = serving.serve_init(
         jax.tree_util.tree_map(lambda x: x[0], pc_frames), poly, params,
         exclusions, s, ror_method=ror_method)
-    cache0 = plancache.add_carry_row(
-        plancache.build_plan_cache(inc0.world, params, s), s)
-    st0 = plancache.initial_cached_state(inc0.world, s)
 
-    def frame_body(carry, pc_f):
-        inc, cache, st = carry
-        inc, level = perceive_update(inc, pc_f, poly, params, exclusions, s,
-                                     ror_method=ror_method)
-        mission, wp = rebuild_waypoints(st.mission, st.wp, inc.world.graph,
-                                        params, s)
-
-        def rebuild(args):
-            old_cache, _ = args
-            # wp (the post-rebuild carried tour) is the exact wp_base: see
-            # build_plan_cache's docstring for the completed-tour case
-            fresh = plancache.add_carry_row(
-                plancache.build_plan_cache(inc.world, params, s, wp_base=wp),
-                s)
-            fresh = plancache.carry_adopted_row(fresh, old_cache, st.adopted)
-            # target restoration keeps prev_wp, which can violate the rows'
-            # prev == target-1 encoding until the next advance; pin the live
-            # config's row to its actual plan (plancache.pin_live_row)
-            fresh = plancache.pin_live_row(fresh, inc.world, mission, wp,
-                                           params, s)
-            return fresh, jnp.int32(plancache.num_rows(s))
-
-        def keep(args):
-            return args
-
-        cache, adopted = jax.lax.cond(
-            level >= LEVEL_DOWNSTREAM, rebuild, keep, (cache, st.adopted))
-        lite = plancache.world_lite(inc.world)
-        st = plancache.CachedEngineState(
-            robot=st.robot, mission=mission, control=st.control, wp=wp,
-            adopted=adopted, last_mod=st.last_mod, t=st.t,
-        )
+    def frame_body(sv, pc_f):
+        sv, level = serving.serve_map_frame(sv, pc_f, poly, params,
+                                            exclusions, s,
+                                            ror_method=ror_method)
+        lite = plancache.world_lite(sv.inc.world)
 
         def tick(st, _):
-            return plancache.step_cached(st, lite, cache, params, s)
+            return plancache.step_cached(st, lite, sv.cache, params, s)
 
-        st, metrics = jax.lax.scan(tick, st, None, length=steps_per_frame)
+        st, metrics = jax.lax.scan(tick, sv.st, None,
+                                   length=steps_per_frame)
         metrics["inc_level"] = level
-        return (inc, cache, st), metrics
+        return serving.ServeState(inc=sv.inc, cache=sv.cache, st=st), metrics
 
-    (inc, cache, st), metrics = jax.lax.scan(
-        frame_body, (inc0, cache0, st0), pc_frames)
-    return (st, metrics, inc) if return_inc else (st, metrics)
+    sv, metrics = jax.lax.scan(frame_body, sv0, pc_frames)
+    return (sv.st, metrics, sv.inc) if return_inc else (sv.st, metrics)

@@ -74,6 +74,9 @@ class PlanCache:
     """Per-world precomputed plans, one row per reachable mission config."""
 
     plan_xy: Any     # [R, max_plan, 2] f32 linearized /plan points
+    plan_yaw: Any    # [R, max_plan] f32 per-point yaw (serving /plan export;
+    #                  step_cached itself never reads it - the follower and
+    #                  control tick consume xy + the goal pose only)
     plan_count: Any  # [R] i32
     goal_xy: Any     # [R, 2] f32 = plan_xy[r, max(count-1, 0)]
     goal_yaw: Any    # [R] f32  = plan_yaw[r, max(count-1, 0)]
@@ -214,8 +217,9 @@ def _row_payload(raw: Path, plan: Path, success) -> dict:
     gi = jnp.maximum(plan.count - 1, 0)
     nf = (jnp.sum((~jnp.isfinite(plan.xy)).astype(jnp.int32))
           + jnp.sum((~jnp.isfinite(raw.xy)).astype(jnp.int32)))
-    return dict(plan_xy=plan.xy, plan_count=plan.count, goal_xy=plan.xy[gi],
-                goal_yaw=plan.yaw[gi], success=success, nonfinite=nf)
+    return dict(plan_xy=plan.xy, plan_yaw=plan.yaw, plan_count=plan.count,
+                goal_xy=plan.xy[gi], goal_yaw=plan.yaw[gi], success=success,
+                nonfinite=nf)
 
 
 def add_carry_row(cache: PlanCache, s: Statics) -> PlanCache:
@@ -235,11 +239,7 @@ def add_carry_row(cache: PlanCache, s: Statics) -> PlanCache:
     def app(a):
         return jnp.concatenate([a, a[W4:W4 + 1]], axis=0)
 
-    return PlanCache(
-        plan_xy=app(cache.plan_xy), plan_count=app(cache.plan_count),
-        goal_xy=app(cache.goal_xy), goal_yaw=app(cache.goal_yaw),
-        success=app(cache.success), nonfinite=app(cache.nonfinite),
-    )
+    return jax.tree_util.tree_map(app, cache)
 
 
 def carry_adopted_row(new_cache: PlanCache, old_cache: PlanCache,
@@ -252,14 +252,7 @@ def carry_adopted_row(new_cache: PlanCache, old_cache: PlanCache,
     def put(a, b):
         return a.at[R].set(b[old_adopted])
 
-    return PlanCache(
-        plan_xy=put(new_cache.plan_xy, old_cache.plan_xy),
-        plan_count=put(new_cache.plan_count, old_cache.plan_count),
-        goal_xy=put(new_cache.goal_xy, old_cache.goal_xy),
-        goal_yaw=put(new_cache.goal_yaw, old_cache.goal_yaw),
-        success=put(new_cache.success, old_cache.success),
-        nonfinite=put(new_cache.nonfinite, old_cache.nonfinite),
-    )
+    return jax.tree_util.tree_map(put, new_cache, old_cache)
 
 
 def pin_live_row(cache: PlanCache, world, mission: MissionState,
@@ -319,21 +312,31 @@ def _on_path_cached(state: ControlState, cache: PlanCache, adopted):
     )
 
 
-def _select_plan_xy(cache: PlanCache, adopted):
-    """Exact row select via one-hot masked sum of int32 BITCASTS (bandwidth-
-    bound; a gather would be serial, a float sum would lose -0.0)."""
-    R = cache.plan_xy.shape[0]
-    bits = jax.lax.bitcast_convert_type(cache.plan_xy, jnp.int32)
-    sel = (jnp.arange(R, dtype=jnp.int32) == adopted)[:, None, None]
+def select_row(arr, adopted):
+    """Exact row select of an [R, ...] f32 array via one-hot masked sum of
+    int32 BITCASTS (bandwidth-bound; a gather would be serial, a float sum
+    would lose -0.0 / NaN payloads)."""
+    R = arr.shape[0]
+    bits = jax.lax.bitcast_convert_type(arr, jnp.int32)
+    sel = (jnp.arange(R, dtype=jnp.int32) == adopted).reshape(
+        (R,) + (1,) * (arr.ndim - 1))
     picked = jnp.sum(jnp.where(sel, bits, 0), axis=0)
     return jax.lax.bitcast_convert_type(picked, jnp.float32)
 
 
 def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
-                params: AosParams, s: Statics, *, v_dt=jnp.float32(0.12)):
+                params: AosParams, s: Statics, *, v_dt=jnp.float32(0.12),
+                external_pose: bool = False):
     """engine.step with the per-tick replan + linearization replaced by the
     cache row select. Bit-identical metrics and robot/mission/control
-    trajectories (tests/test_plancache.py). No lax.cond — vmap-safe."""
+    trajectories (tests/test_plancache.py). No lax.cond — vmap-safe.
+
+    external_pose=True (static): the robot is REAL — state.robot already
+    holds the measured pose for this tick (serving.serve_control_tick
+    injected it) and nothing simulates motion, so _move_robot is skipped
+    and the pose passes through unchanged. Everything the tick decides
+    (control mode, mission arrival/docking, plan adoption) is computed
+    from that measured pose exactly as from a simulated one."""
     from ..engine import _move_robot
     from ..guards import GUARD_NONFINITE
 
@@ -354,7 +357,7 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
     adopted = jnp.where(use_new, idx_now, state.adopted)
 
     plan_count = cache.plan_count[adopted]
-    plan_xy = _select_plan_xy(cache, adopted)
+    plan_xy = select_row(cache.plan_xy, adopted)
     plan_path = Path(xy=plan_xy, yaw=jnp.zeros((s.max_plan,), jnp.float32),
                      count=plan_count)
 
@@ -372,9 +375,13 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
         origin_appended=mission.origin_appended,
     )
 
-    # 3. robot kinematics (reads plan xy + count only)
-    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
-                        ctrl.goal_yaw, v_dt=v_dt)
+    # 3. robot kinematics (reads plan xy + count only); a real robot moves
+    # itself - external_pose keeps the measured pose
+    if external_pose:
+        robot = state.robot
+    else:
+        robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
+                            ctrl.goal_yaw, v_dt=v_dt)
 
     new_state = CachedEngineState(
         robot=robot, mission=mission, control=ctrl, wp=wp,

@@ -1,0 +1,174 @@
+"""Streaming serving API (aosx/serving.py): the live-feed surface must be
+decision-identical to the recorded-replay composition, take MEASURED poses
+(external_pose — nothing simulates motion), and checkpoint/resume
+mid-survey. Reference semantics: per-map-message world update
+(aos_seed_gen_node.cpp:230), per-odometry-message control
+(aos_state_machine_node.cpp:83)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aosx import incremental, serving
+from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
+from aosx.io.checkpoint import load_state, save_state
+from aosx.orchards import OrchardSpec, make_orchard_np
+from aosx.types import PointCloud, Polygon
+
+STEPS = 150  # ticks per map frame
+
+
+def _eq(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    if a.dtype == np.float32:  # bitwise (NaN payloads, -0.0)
+        return np.array_equal(a.view(np.uint32), b.view(np.uint32))
+    return np.array_equal(a, b)
+
+
+def _frames(fracs, seed=5):
+    spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
+    xyz, poly = make_orchard_np(spec, seed=seed)
+    rng = np.random.default_rng(0)
+    xyz = xyz[rng.permutation(len(xyz))]
+    bufs = np.zeros((len(fracs), S.max_points, 3), np.float32)
+    valids = np.zeros((len(fracs), S.max_points), bool)
+    for f, frac in enumerate(fracs):
+        n = int(len(xyz) * frac)
+        bufs[f, :n] = xyz[:n]
+        valids[f, :n] = True
+    return bufs, valids, poly
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bufs, valids, poly = _frames([0.55, 0.8, 1.0])
+    poly_j = Polygon.from_array(poly.astype(np.float32), S)
+    params = params_as_f32(AosParams())
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
+
+    # the reference run: the recorded-replay composition of the same code
+    final, metrics = jax.jit(
+        lambda fr: incremental.replay_episode_incremental_cached(
+            fr, poly_j, params, excl, S, steps_per_frame=STEPS,
+            ror_method="exact"),
+    )(frames)
+
+    # one jit instance per entry point, shared by every _drive call (a
+    # fresh lambda per call would retrace these multi-minute compiles).
+    # host_jit, not jax.jit: repeat host-loop dispatch of const-carrying
+    # executables is broken in jax 0.9.0 (serving.host_jit docstring)
+    jits = dict(
+        init=serving.host_jit(lambda pc: serving.serve_init(
+            pc, poly_j, params, excl, S)),
+        frame=serving.host_jit(lambda sv, pc: serving.serve_map_frame(
+            sv, pc, poly_j, params, excl, S)),
+        tick=serving.host_jit(lambda sv, xy, yaw: serving.serve_control_tick(
+            sv, xy, yaw, params, S)),
+    )
+    return bufs, valids, jits, final, metrics
+
+
+def _pc(bufs, valids, f):
+    return PointCloud(xyz=jnp.asarray(bufs[f]), valid=jnp.asarray(valids[f]))
+
+
+def _pose_before(metrics, f, t, F, T):
+    """The pose each replay tick ACTED on: the previous tick's output pose
+    (step order: control tick reads state.robot, then motion updates it),
+    or the engine's initial pose for the very first tick."""
+    xs = np.asarray(metrics["xy"]).reshape(F * T, 2)
+    ys = np.asarray(metrics["yaw"]).reshape(F * T)
+    i = f * T + t
+    if i == 0:
+        return np.float32([0.0, 0.0]), np.float32(0.0)
+    return xs[i - 1], ys[i - 1]
+
+
+def _drive(bufs, valids, jits, metrics, frames_idx, sv=None, collect_from=0):
+    """Host-side serving drive over the given frames, feeding the replay's
+    recorded poses. Returns (final ServeState, cmds dict of stacked arrays
+    collected from frame index collect_from on)."""
+    F, T = np.asarray(metrics["mod"]).shape
+
+    frame_j, tick_j = jits["frame"], jits["tick"]
+    if sv is None:
+        sv = jits["init"](_pc(bufs, valids, 0))
+
+    cmds = []
+    for f in frames_idx:
+        sv, level = frame_j(sv, _pc(bufs, valids, f))
+        assert int(level) == int(np.asarray(metrics["inc_level"])[f]), f
+        for t in range(T):
+            xy, yaw = _pose_before(metrics, f, t, F, T)
+            sv, cmd = tick_j(sv, xy, yaw)
+            if f >= collect_from:
+                cmds.append(cmd)
+    stacked = {k: np.stack([np.asarray(c[k]) for c in cmds])
+               for k in cmds[0]}
+    return sv, stacked
+
+
+def test_serving_decision_parity_with_replay(setup):
+    """Feeding the streaming API the replay's own pose sequence must
+    reproduce every published decision bit-for-bit: control mode, goal
+    pose, plan adoption/length, mission status/progress, hygiene
+    counters."""
+    bufs, valids, jits, final, metrics = setup
+    F, T = np.asarray(metrics["mod"]).shape
+
+    sv, cmds = _drive(bufs, valids, jits, metrics, frames_idx=range(F))
+
+    for k in ("mod", "status", "target_wp", "cluster_idx", "waiting",
+              "completed", "plan_len", "nonfinite", "guards"):
+        ref = np.asarray(metrics[k]).reshape((F * T,) + cmds[k].shape[1:])
+        assert _eq(cmds[k], ref), f"cmd {k!r} diverged"
+    # cmd echoes the MEASURED pose it acted on; the replay's metrics record
+    # the post-move pose (the NEXT tick's input), so the echo is the metric
+    # sequence shifted by one with the initial pose prepended
+    ref_xy = np.asarray(metrics["xy"]).reshape(-1, 2)
+    ref_yaw = np.asarray(metrics["yaw"]).reshape(-1)
+    fed_xy = np.vstack([np.zeros((1, 2), np.float32), ref_xy[:-1]])
+    fed_yaw = np.concatenate([np.zeros(1, np.float32), ref_yaw[:-1]])
+    assert _eq(cmds["xy"], fed_xy)
+    assert _eq(cmds["yaw"], fed_yaw)
+
+    # final mission/control state matches the replay's
+    for fld in ("target_wp", "prev_wp", "initial_reached",
+                "origin_appended", "exploration_completed",
+                "waiting_for_docking", "status"):
+        assert np.array_equal(
+            np.asarray(getattr(final.mission, fld)),
+            np.asarray(getattr(sv.st.mission, fld))), fld
+    assert int(final.adopted) == int(sv.st.adopted)
+    # the published /plan content matches the adopted cache row
+    assert _eq(cmds["plan_xy"][-1],
+               np.asarray(sv.cache.plan_xy)[int(sv.st.adopted)])
+    assert _eq(cmds["plan_yaw"][-1],
+               np.asarray(sv.cache.plan_yaw)[int(sv.st.adopted)])
+
+
+def test_serving_checkpoint_resume(setup, tmp_path):
+    """A live survey checkpointed after frame 1 and resumed from disk must
+    continue exactly like the uninterrupted one (ServeState is a pytree;
+    io.checkpoint round-trips it)."""
+    bufs, valids, jits, _, metrics = setup
+    F, _ = np.asarray(metrics["mod"]).shape
+    assert F >= 3
+
+    sv_mid, _ = _drive(bufs, valids, jits, metrics, frames_idx=range(2))
+    path = str(tmp_path / "survey.ckpt")
+    save_state(path, sv_mid)
+    sv_loaded = load_state(path, like=sv_mid)
+    for a, b in zip(jax.tree_util.tree_leaves(sv_mid),
+                    jax.tree_util.tree_leaves(sv_loaded)):
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True)
+
+    _, cmds_cont = _drive(bufs, valids, jits, metrics,
+                          frames_idx=[2], sv=sv_mid, collect_from=2)
+    _, cmds_res = _drive(bufs, valids, jits, metrics,
+                         frames_idx=[2], sv=sv_loaded, collect_from=2)
+    assert set(cmds_cont) == set(cmds_res)
+    for k in cmds_cont:
+        assert _eq(cmds_cont[k], cmds_res[k]), k
