@@ -196,6 +196,10 @@ def rollout_begin_cached(key, spec: OrchardSpec, params: AosParams, s: Statics,
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
     world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
     cache = plancache.build_plan_cache(world, params, s)
+    # per-point yaw rows are a serving-export payload; step_cached never
+    # reads them, so don't carry [R, max_plan] f32 per MC lane in HBM
+    import dataclasses
+    cache = dataclasses.replace(cache, plan_yaw=cache.plan_yaw[:, :0])
     lite = plancache.world_lite(world)
     st = plancache.initial_cached_state(world, s)
     return lite, cache, st, _acc_init(s, n_steps_total)

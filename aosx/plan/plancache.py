@@ -410,6 +410,10 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
         guards=lite.guards
         | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0),
     )
+    if external_pose:
+        # serving export: hand the already-selected plan to the caller so
+        # serve_control_tick doesn't re-run the [R, max_plan, 2] row select
+        metrics["plan_xy"] = plan_xy
     return new_state, metrics
 
 

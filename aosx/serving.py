@@ -188,10 +188,9 @@ def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
     st, metrics = plancache.step_cached(st, lite, sv.cache, params, s,
                                         external_pose=True)
     cmd = dict(
-        metrics,
+        metrics,  # includes plan_xy (selected once inside step_cached)
         goal_xy=st.control.goal_xy,
         goal_yaw=st.control.goal_yaw,
-        plan_xy=plancache.select_row(sv.cache.plan_xy, st.adopted),
         plan_yaw=plancache.select_row(sv.cache.plan_yaw, st.adopted),
     )
     return _canon(ServeState(inc=sv.inc, cache=sv.cache, st=st)), cmd

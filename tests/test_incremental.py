@@ -8,25 +8,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from helpers import frames_growing, pc_frame
 
 from aosx import engine, incremental
 from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
-from aosx.orchards import OrchardSpec, make_orchard_np
+from aosx.orchards import OrchardSpec
 from aosx.types import PointCloud, Polygon
 
 
 def _frames(fracs, seed=5, spec=None):
-    spec = spec or OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
-    xyz, poly = make_orchard_np(spec, seed=seed)
-    rng = np.random.default_rng(0)
-    xyz = xyz[rng.permutation(len(xyz))]
-    bufs = np.zeros((len(fracs), S.max_points, 3), np.float32)
-    valids = np.zeros((len(fracs), S.max_points), bool)
-    for f, frac in enumerate(fracs):
-        n = int(len(xyz) * frac)
-        bufs[f, :n] = xyz[:n]
-        valids[f, :n] = True
-    return bufs, valids, poly
+    return frames_growing(fracs, S, seed=seed, spec=spec)
 
 
 def _assert_world_equal(wa, wb):
@@ -51,8 +42,7 @@ def setup():
     return bufs, valids, poly_j, params, excl
 
 
-def _pc(bufs, valids, f):
-    return PointCloud(xyz=jnp.asarray(bufs[f]), valid=jnp.asarray(valids[f]))
+_pc = pc_frame
 
 
 def test_incremental_parity_growing_map(setup):

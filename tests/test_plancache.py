@@ -14,6 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from helpers import bits as _bits
 
 from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
 from aosx import engine
@@ -32,11 +33,6 @@ def world():
         lambda pc, poly, pr, ex: engine.prepare_world(pc, poly, pr, ex, S, ror_method="exact")
     )(pc, poly, params, excl)
     return w, params
-
-
-def _bits(a):
-    a = np.asarray(a)
-    return a.view(np.uint32) if a.dtype == np.float32 else a
 
 
 def test_episode_cached_bit_identical(world):

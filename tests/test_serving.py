@@ -9,40 +9,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from helpers import eq_bits as _eq, frames_growing, pc_frame as _pc
 
 from aosx import incremental, serving
 from aosx.config import TEST_STATICS as S, AosParams, params_as_f32
 from aosx.io.checkpoint import load_state, save_state
-from aosx.orchards import OrchardSpec, make_orchard_np
 from aosx.types import PointCloud, Polygon
 
 STEPS = 150  # ticks per map frame
 
 
-def _eq(a, b):
-    a, b = np.asarray(a), np.asarray(b)
-    if a.dtype == np.float32:  # bitwise (NaN payloads, -0.0)
-        return np.array_equal(a.view(np.uint32), b.view(np.uint32))
-    return np.array_equal(a, b)
-
-
-def _frames(fracs, seed=5):
-    spec = OrchardSpec(n_rows=3, row_len=12.0, origin=(6.0, 4.0))
-    xyz, poly = make_orchard_np(spec, seed=seed)
-    rng = np.random.default_rng(0)
-    xyz = xyz[rng.permutation(len(xyz))]
-    bufs = np.zeros((len(fracs), S.max_points, 3), np.float32)
-    valids = np.zeros((len(fracs), S.max_points), bool)
-    for f, frac in enumerate(fracs):
-        n = int(len(xyz) * frac)
-        bufs[f, :n] = xyz[:n]
-        valids[f, :n] = True
-    return bufs, valids, poly
-
-
 @pytest.fixture(scope="module")
 def setup():
-    bufs, valids, poly = _frames([0.55, 0.8, 1.0])
+    bufs, valids, poly = frames_growing([0.55, 0.8, 1.0], S)
     poly_j = Polygon.from_array(poly.astype(np.float32), S)
     params = params_as_f32(AosParams())
     excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
@@ -68,10 +47,6 @@ def setup():
             sv, xy, yaw, params, S)),
     )
     return bufs, valids, jits, final, metrics
-
-
-def _pc(bufs, valids, f):
-    return PointCloud(xyz=jnp.asarray(bufs[f]), valid=jnp.asarray(valids[f]))
 
 
 def _pose_before(metrics, f, t, F, T):
