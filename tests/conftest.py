@@ -11,12 +11,18 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# Persistent compile cache: DISABLED for the CPU suite. After a host
-# migration (2026-08-18) the XLA:CPU AOT loader warns on every load of an
-# entry written even by THIS host ("machine type doesn't match ... could
-# lead to SIGILL") — feature-string mismatch between compile and host
-# introspection. Not worth the risk for a ~10 min suite; see CLAUDE.md.
-# bench.py keeps its own cache config for TPU executables (tunnel-compiled).
+# Persistent compile cache: the suite is compile-bound on this 1-core box
+# (48 min cold vs ~11 min warm). After a HOST MIGRATION the cache must be
+# purged (`rm -rf /root/repo/.jax_cache`): old-host XLA:CPU AOT entries
+# fail to load with misleading errors. Same-host write->load round-trips
+# were verified clean post-migration (test_plan twice on a fresh dir: 3x
+# faster, identical results, no loader warnings); occasional
+# "machine type doesn't match" warnings from cpu_aot_loader are
+# introspection noise for same-host entries — but if the suite ever fails
+# weirdly right after an outage/migration, purge the cache FIRST (CLAUDE.md).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 if not os.environ.get("AOSX_TEST_ON_TPU"):
     _cpu = jax.devices("cpu")
