@@ -92,7 +92,11 @@ def obstacle_distance_field(grid: GridWorld, s: Statics):
                     )
             return state
 
-        state = jax.lax.fori_loop(0, len(passes), body, state)
+        # unroll=N: the rolled while-loop lowering of traced-shift rolls is
+        # miscompiled by XLA:CPU (see voronoi.py's jump_flood dynamic path
+        # + CLAUDE.md); unrolled bodies are correct
+        state = jax.lax.fori_loop(0, len(passes), body, state,
+                                  unroll=len(passes))
     ny, nx, best = state
     return jnp.sqrt(jnp.minimum(best, 3.4e38)) * res
 

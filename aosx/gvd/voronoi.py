@@ -196,7 +196,18 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
 
             return jacobi_pass(*state, dyn_shifter)
 
-        state = jax.lax.fori_loop(0, len(passes), body, state)
+        # unroll=N: XLA:CPU MISCOMPILES this body inside a rolled
+        # while-loop - traced-shift rolls (any lowering: combined roll,
+        # two rolls, doubled-plane dynamic_slice) + the fold produce wrong
+        # owners at a handful of cells (63 on the discovering example;
+        # strictly-nearer seeds lost, not ties). lax.scan shares the bug;
+        # the same body unrolled (python loop, traced steps, or fori with
+        # unroll=N) is correct and matches the static/sharded/brute-force
+        # paths bit-exactly. Regression: tests/test_parallel.py::
+        # test_incremental_sharded_stencils (the discovering example:
+        # sharded JFA vs this path at seed 7, DRYRUN statics).
+        state = jax.lax.fori_loop(0, len(passes), body, state,
+                                  unroll=len(passes))
     owner = state[0]
     owner = jnp.where(live_mask(grid) & (owner < S), owner, -1)
     return owner

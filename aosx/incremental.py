@@ -99,7 +99,7 @@ LEVEL_FULL = 3           # contract violated / delta overflow: from scratch
 
 
 def _downstream(skel, inflated, poly, params: AosParams, s: Statics,
-                pre_guards):
+                pre_guards, stencil_mesh=None, stencil_axis: str = "space"):
     """The perceive tail + world assembly, by construction identical to
     perceive.pipeline.perceive composed with engine.prepare_world_full
     (both call the same shared helpers)."""
@@ -108,19 +108,43 @@ def _downstream(skel, inflated, poly, params: AosParams, s: Statics,
 
     occupancy = _raster.mark_borders(inflated)
     out = perceive_tail(skel, occupancy, poly, params, s, pre_guards)
-    return out, world_from_perceive(out, params, s)
+    return out, world_from_perceive(out, params, s, stencil_mesh=stencil_mesh,
+                                    stencil_axis=stencil_axis)
+
+
+def _inflate(grid, s: Statics, stencil_mesh, stencil_axis):
+    if stencil_mesh is None:
+        return _raster.inflate(grid, s)
+    from .parallel.spatial import inflate_sharded
+
+    return inflate_sharded(grid, s, stencil_mesh, stencil_axis)
+
+
+def _skeletonize(inflated, s: Statics, stencil_mesh, stencil_axis):
+    if stencil_mesh is None:
+        return _skeleton.skeletonize(inflated, s)
+    from .parallel.spatial import skeletonize_sharded
+
+    return skeletonize_sharded(inflated, s, stencil_mesh, stencil_axis)
 
 
 def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
                   exclusions, s: Statics, *,
-                  ror_method: str = "exact") -> IncrementalState:
-    """Full from-scratch pass, keeping the incremental intermediates."""
+                  ror_method: str = "exact",
+                  stencil_mesh=None,
+                  stencil_axis: str = "space") -> IncrementalState:
+    """Full from-scratch pass, keeping the incremental intermediates.
+    stencil_mesh: optional Mesh - row-shard the grid stencils + JFA across
+    chips (parallel/spatial.py), bit-identical to single-device; the
+    equality gates then compare identical planes, so reuse levels are
+    unchanged (tests/test_parallel.py::test_incremental_sharded_stencils)."""
     xy, keep, cnt, valid, bounds, guards = _points.preprocess_full(
         pc, poly, params, exclusions, s, ror_method=ror_method)
     grid = _raster.generate_grid(xy, keep, bounds, s)
-    inflated = _raster.inflate(grid, s)
-    skel = _skeleton.skeletonize(inflated, s)
-    out, world = _downstream(skel, inflated, poly, params, s, guards)
+    inflated = _inflate(grid, s, stencil_mesh, stencil_axis)
+    skel = _skeletonize(inflated, s, stencil_mesh, stencil_axis)
+    out, world = _downstream(skel, inflated, poly, params, s, guards,
+                             stencil_mesh, stencil_axis)
     return IncrementalState(
         xyz=pc.xyz, valid=valid, cnt=cnt, keep=keep,
         inflated=inflated, pre_guards=guards, out=out, world=world,
@@ -180,7 +204,8 @@ def _cross_counts(all_pts, all_valid, dpts, dvalid, dcount, r2,
 
 def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
                     params: AosParams, exclusions, s: Statics, *,
-                    ror_method: str = "exact"):
+                    ror_method: str = "exact",
+                    stencil_mesh=None, stencil_axis: str = "space"):
     """One incremental map frame. Returns (new state, level i32).
 
     pc is the FULL current snapshot (index-stable buffer, see module
@@ -200,7 +225,8 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
 
     def full_branch(st):
         return perceive_init(pc, poly, params, exclusions, s,
-                             ror_method=ror_method), jnp.int32(LEVEL_FULL)
+                             ror_method=ror_method, stencil_mesh=stencil_mesh,
+                             stencil_axis=stencil_axis), jnp.int32(LEVEL_FULL)
 
     def empty_branch(st):
         # no additions, nothing removed or moved: the carried state IS the
@@ -235,7 +261,7 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
         keep &= _points.static_keep_mask(xyz_new, params, exclusions, bounds)
 
         grid = _raster.generate_grid(xyz_new[:, :2], keep, bounds, s)
-        inflated = _raster.inflate(grid, s)
+        inflated = _inflate(grid, s, stencil_mesh, stencil_axis)
         changed = jnp.any(inflated.occ != st.inflated.occ)
 
         carried = IncrementalState(
@@ -248,7 +274,7 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
             return c, jnp.int32(LEVEL_REUSE_WORLD)
 
         def changed_branch(c):
-            skel = _skeleton.skeletonize(inflated, s)
+            skel = _skeletonize(inflated, s, stencil_mesh, stencil_axis)
             skel_same = jnp.all(skel.occ == c.out.skeleton.occ)
 
             def reuse_down(c):
@@ -268,7 +294,8 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
                 # PREVIOUS skeleton's cluster-stage bits, which a fresh
                 # from-scratch pass on this frame would not set
                 out, world = _downstream(skel, inflated, poly, params, s,
-                                         c.pre_guards)
+                                         c.pre_guards, stencil_mesh,
+                                         stencil_axis)
                 return (
                     dataclasses.replace(c, out=out, world=world),
                     jnp.int32(LEVEL_DOWNSTREAM),

@@ -79,14 +79,16 @@ def host_jit(fn):
     path as unfinished ("TODO(necula): remove num_const_args when fixing
     the C++ path", pjit.py:1248).
 
-    Workaround: an ordered no-op host callback adds an effect, and
+    Workaround: a no-op host callback adds an (unordered) effect, and
     _get_fastpath_data refuses to build fast-path data for effectful
     executables — so every call takes the correct Python path. Costs ~a
     host round-trip per call; irrelevant at map-frame/odometry cadence.
-    Inside lax.scan (the replay composition) the bug cannot occur — use
-    plain jax.jit there."""
+    Unordered, because ordered effects reject multi-device programs
+    ("ordered effects are not supported for more than 1 device") and the
+    serving entry points accept a stencil_mesh. Inside lax.scan (the
+    replay composition) the bug cannot occur — use plain jax.jit there."""
     def wrapped(*args, **kwargs):
-        jax.debug.callback(_noop, ordered=True)
+        jax.debug.callback(_noop)
         return fn(*args, **kwargs)
 
     return jax.jit(wrapped)
@@ -117,10 +119,14 @@ class ServeState:
 
 
 def serve_init(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
-               s: Statics, *, ror_method: str = "exact") -> ServeState:
-    """First map snapshot: full from-scratch world + plan cache."""
+               s: Statics, *, ror_method: str = "exact",
+               stencil_mesh=None, stencil_axis: str = "space") -> ServeState:
+    """First map snapshot: full from-scratch world + plan cache.
+    stencil_mesh: optional Mesh - row-shard the grid stencils + JFA of the
+    world updates across chips (bit-identical; incremental.perceive_init)."""
     inc0 = perceive_init(pc, poly, params, exclusions, s,
-                         ror_method=ror_method)
+                         ror_method=ror_method, stencil_mesh=stencil_mesh,
+                         stencil_axis=stencil_axis)
     cache0 = plancache.add_carry_row(
         plancache.build_plan_cache(inc0.world, params, s), s)
     return _canon(ServeState(inc=inc0, cache=cache0,
@@ -129,7 +135,8 @@ def serve_init(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
 
 def serve_map_frame(sv: ServeState, pc_f: PointCloud, poly: Polygon,
                     params: AosParams, exclusions, s: Statics, *,
-                    ror_method: str = "exact"):
+                    ror_method: str = "exact",
+                    stencil_mesh=None, stencil_axis: str = "space"):
     """One SLAM map message. Returns (state, level i32) — level is the
     incremental reuse level taken (incremental.LEVEL_*).
 
@@ -140,7 +147,9 @@ def serve_map_frame(sv: ServeState, pc_f: PointCloud, poly: Polygon,
     carrying the adopted row and pinning the restored live config's row
     (plancache.pin_live_row)."""
     inc, level = perceive_update(sv.inc, pc_f, poly, params, exclusions, s,
-                                 ror_method=ror_method)
+                                 ror_method=ror_method,
+                                 stencil_mesh=stencil_mesh,
+                                 stencil_axis=stencil_axis)
     mission, wp = rebuild_waypoints(sv.st.mission, sv.st.wp, inc.world.graph,
                                     params, s)
 

@@ -351,6 +351,54 @@ def test_prepare_world_sharded_stencils(params):
         assert np.array_equal(np.asarray(lr), np.asarray(ls))
 
 
+def test_incremental_sharded_stencils(params):
+    """The round-3 serving path on the spatial axis: perceive_init +
+    perceive_update with row-sharded stencils (+ sharded JFA inside the
+    graph build) must be bit-identical to the single-device incremental
+    path at every reuse level, with the SAME levels taken (the equality
+    gates compare identical planes)."""
+    from jax.sharding import Mesh
+    from helpers import frames_growing, pc_frame
+    from aosx import incremental
+    from aosx.types import Polygon
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.array(cpus[:4]), ("space",))
+    bufs, valids, poly = frames_growing([0.55, 1.0], S, seed=7, spec=SPEC)
+    poly_j = Polygon.from_array(poly.astype(np.float32), S)
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+
+    with jax.default_device(cpus[0]):
+        # host_jit, not jax.jit: repeat host-loop dispatch of const-carrying
+        # executables is broken in jax 0.9.0 (serving.host_jit docstring)
+        from aosx.serving import host_jit
+
+        init_r = host_jit(lambda pc: incremental.perceive_init(
+            pc, poly_j, params, excl, S))
+        upd_r = host_jit(lambda st, pc: incremental.perceive_update(
+            st, pc, poly_j, params, excl, S))
+        init_s = host_jit(lambda pc: incremental.perceive_init(
+            pc, poly_j, params, excl, S, stencil_mesh=mesh))
+        upd_s = host_jit(lambda st, pc: incremental.perceive_update(
+            st, pc, poly_j, params, excl, S, stencil_mesh=mesh))
+
+        st_r = init_r(pc_frame(bufs, valids, 0))
+        st_s = init_s(pc_frame(bufs, valids, 0))
+        for f in range(2):
+            st_r, lv_r = upd_r(st_r, pc_frame(bufs, valids, f))
+            st_s, lv_s = upd_s(st_s, pc_frame(bufs, valids, f))
+            assert int(lv_r) == int(lv_s), f
+            for lr, ls in zip(jax.tree_util.tree_leaves(st_r),
+                              jax.tree_util.tree_leaves(st_s)):
+                lr, ls = np.asarray(lr), np.asarray(ls)
+                eq_nan = np.issubdtype(lr.dtype, np.floating)
+                assert np.array_equal(lr, ls, equal_nan=eq_nan)
+        # the growth must exercise a downstream recompute under the mesh
+        assert int(lv_s) >= incremental.LEVEL_REUSE_DOWNSTREAM
+
+
 def test_shard_map_cached_rollouts(params):
     """C17 x plan cache: the plan-cached chunked rollout (begin_cached +
     chunk_cached + finish) shard_maps across the mesh 'data' axis and equals
