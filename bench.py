@@ -37,6 +37,44 @@ import time
 import numpy as np
 
 
+def _assert_chip_alive(timeout_s: float = 180.0):
+    """Fail FAST (and loudly) if the TPU backend is dead.
+
+    The axon tunnel backend can hang for hours on ANY eager op (CLAUDE.md,
+    2026-08-17 outage): the process sits sleeping at ~0 CPU and the driver's
+    bench artifact records a silent timeout. A plain fetch can't fail-fast —
+    the fetch itself is what hangs — so run it on a daemon thread with a
+    watchdog join and abort with a diagnostic if it never returns.
+    """
+    import os
+    import sys
+    import threading
+    import time
+
+    import jax.numpy as jnp
+
+    ok = []
+
+    def fetch():
+        ok.append(float(np.asarray(jnp.ones((8, 128)) * 2).sum()))
+
+    t0 = time.time()
+    th = threading.Thread(target=fetch, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(
+            f"# FATAL: TPU backend unresponsive after {timeout_s:.0f}s "
+            "(known axon outage signature — see CLAUDE.md; retry later, "
+            "this is not a bench bug)",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(17)
+    assert ok[0] == 2048.0, ok
+    print(f"# chip alive ({(time.time() - t0) * 1e3:.0f} ms round-trip)",
+          file=sys.stderr, flush=True)
+
+
 def main():
     import os
 
@@ -45,6 +83,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _assert_chip_alive()
     import jax.numpy as jnp
 
     from aosx import engine
