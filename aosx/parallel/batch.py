@@ -255,7 +255,8 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
                        params: AosParams, s: Statics, steps_budget: int, *,
                        chunk_steps: int = 150, refill: int | None = None,
                        seed: int = 0, ror_method: str = "sorted",
-                       cached: bool = False, on_progress=None):
+                       cached: bool = False, on_progress=None,
+                       params_queue: AosParams | None = None, keys=None):
     """Run `total` full rollouts through `batch` device lanes with refill.
 
     Returns (results, stats): `results` is a dict of np arrays indexed by
@@ -265,7 +266,15 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     (mode-3 freeze at the origin), so a retired lane's record equals the
     fixed-budget rollout_one result (pinned in test_parallel.py).
     `refill` is the lane-group granularity for world rebuilds (begin() is
-    the HBM-peak phase; keep it <= 128)."""
+    the HBM-peak phase; keep it <= 128).
+
+    `params_queue` (optional, parallel/sweep.py): a stacked AosParams whose
+    leaves carry a leading [total] axis — rollout id i runs with params row
+    i, so one sustained run evaluates many parameter configurations in
+    lockstep lanes. `params` is ignored when given. `keys` (optional)
+    overrides the per-rollout PRNG keys ([total, 2] u32; default
+    jax.random.split(PRNGKey(seed), total)) — sweeps pass the SAME seed set
+    per configuration for paired comparisons."""
     import time
 
     refill = refill or max(1, min(batch // 2, 64))
@@ -276,35 +285,60 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     # lanes overrun it and record results a fixed-budget rollout couldn't
     assert steps_budget % chunk_steps == 0, (steps_budget, chunk_steps)
 
+    swept = params_queue is not None
+    if swept:
+        qlen = jax.tree_util.tree_leaves(params_queue)[0].shape[0]
+        assert qlen == total, (qlen, total)
+
     if cached:
         # "world" = (WorldLite, PlanCache); the full World is freed at the
         # end of each begin() call, so steady-state HBM is per-lane tiny
-        def _begin_one(k):
+        def _begin_one(k, p):
             lite, cache, st, acc = rollout_begin_cached(
-                k, spec, params, s, steps_budget, ror_method=ror_method)
+                k, spec, p, s, steps_budget, ror_method=ror_method)
             return (lite, cache), st, acc
 
-        def _chunk_one(w, st, acc, off):
-            return rollout_chunk_cached(w[0], w[1], st, acc, params, s,
+        def _chunk_one(w, st, acc, off, p):
+            return rollout_chunk_cached(w[0], w[1], st, acc, p, s,
                                         chunk_steps, off)
     else:
-        def _begin_one(k):
-            return rollout_begin(k, spec, params, s, steps_budget,
+        def _begin_one(k, p):
+            return rollout_begin(k, spec, p, s, steps_budget,
                                  ror_method=ror_method)
 
-        def _chunk_one(w, st, acc, off):
-            return rollout_chunk(w, st, acc, params, s, chunk_steps, off)
+        def _chunk_one(w, st, acc, off, p):
+            return rollout_chunk(w, st, acc, p, s, chunk_steps, off)
 
-    begin = jax.jit(jax.vmap(_begin_one))
-    chunk = jax.jit(jax.vmap(_chunk_one))
-    finish = jax.jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, s)))
-    scatter = jax.jit(
+    # host_jit, NOT plain jax.jit: these are host-loop callables, and the
+    # cached+swept chunk executable retains runtime jaxpr consts that jax
+    # 0.9.0's C++ fast path drops ("Executable expected parameter 0 of size
+    # 4 but got buffer with incompatible size 16" on the first post-AOT
+    # call) — serving.host_jit's docstring has the full story. The forced
+    # Python dispatch costs ~a host round-trip per call, noise against
+    # multi-second chunk/begin device times.
+    from ..serving import host_jit
+
+    p_axis = 0 if swept else None
+    begin = host_jit(jax.vmap(_begin_one, in_axes=(0, p_axis)))
+    chunk = host_jit(jax.vmap(_chunk_one, in_axes=(0, 0, 0, 0, p_axis)))
+    finish = host_jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, s)))
+    scatter = host_jit(
         lambda big, new, idx: jax.tree_util.tree_map(
             lambda a, b: a.at[idx].set(b), big, new
         )
     )
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), total)
+    def _q(lo, hi):
+        """Params for rollout ids [lo, hi) — queue rows if swept."""
+        if not swept:
+            return params
+        return jax.tree_util.tree_map(lambda x: x[lo:hi], params_queue)
+
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(seed), total)
+    else:
+        keys = jnp.asarray(keys)
+        assert keys.shape[0] == total, (keys.shape, total)
     results: dict[str, list] = {}
     recorded = np.zeros(batch, bool)       # lane's current rollout recorded?
     ages = np.zeros(batch, np.int32)       # control ticks run by lane's rollout
@@ -332,12 +366,15 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     assert batch % refill == 0, (batch, refill)
     parts = []
     for i in range(0, batch, refill):
-        parts.append(begin(keys[i:i + refill]))
+        parts.append(begin(keys[i:i + refill], _q(i, i + refill)))
         _dbg(f"begin[{i}:{i + refill}]", parts[-1])
     n_begin_calls += len(parts)
     world_b, st_b, acc_b = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts
     )
+    # per-LANE params (only when swept): scattered alongside the lane state
+    # at refill so a lane's chunk always runs its rollout's own row
+    params_b = _q(0, batch)
     _dbg("concat", (world_b, st_b, acc_b))
 
     # compile the steady-state callables BEFORE the timed region so the
@@ -345,16 +382,21 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     ages_dev = jnp.asarray(ages)
     idx0 = jnp.arange(refill, dtype=jnp.int32)
     new0 = jax.tree_util.tree_map(lambda a: a[:refill], (world_b, st_b, acc_b))
-    chunk.lower(world_b, st_b, acc_b, ages_dev).compile()
+    chunk.lower(world_b, st_b, acc_b, ages_dev, params_b).compile()
     _dbg("aot chunk")
     finish.lower(st_b, acc_b).compile()
     _dbg("aot finish")
-    scatter.lower((world_b, st_b, acc_b), new0, idx0).compile()
+    if swept:
+        scatter.lower(
+            ((world_b, st_b, acc_b), params_b),
+            (new0, _q(0, refill)), idx0).compile()
+    else:
+        scatter.lower((world_b, st_b, acc_b), new0, idx0).compile()
     _dbg("aot scatter")
 
     t0 = time.perf_counter()
     while n_recorded < total:
-        st_b, acc_b = chunk(world_b, st_b, acc_b, jnp.asarray(ages))
+        st_b, acc_b = chunk(world_b, st_b, acc_b, jnp.asarray(ages), params_b)
         _dbg(f"chunk#{n_chunk_calls}", (st_b, acc_b))
         n_chunk_calls += 1
         ages += chunk_steps
@@ -370,11 +412,18 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
         # refill retired lanes in fixed-size groups while work remains
         while recorded.sum() >= refill and next_key + refill <= total:
             idx = np.nonzero(recorded)[0][:refill]
-            new = begin(keys[next_key:next_key + refill])
+            new_q = _q(next_key, next_key + refill)
+            new = begin(keys[next_key:next_key + refill], new_q)
             n_begin_calls += 1
-            world_b, st_b, acc_b = scatter(
-                (world_b, st_b, acc_b), new, jnp.asarray(idx.astype(np.int32))
-            )
+            idx_dev = jnp.asarray(idx.astype(np.int32))
+            if swept:
+                (world_b, st_b, acc_b), params_b = scatter(
+                    ((world_b, st_b, acc_b), params_b), (new, new_q), idx_dev
+                )
+            else:
+                world_b, st_b, acc_b = scatter(
+                    (world_b, st_b, acc_b), new, idx_dev
+                )
             ages[idx] = 0
             recorded[idx] = False
             rid[idx] = np.arange(next_key, next_key + refill)

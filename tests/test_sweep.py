@@ -1,0 +1,139 @@
+"""Parameter-sweep Monte-Carlo evaluation (aosx/parallel/sweep.py): the
+swept sustained harness must run every (configuration, seed) rollout with
+that rollout's OWN params row — pinned against rollout_one at the same key
+and configuration — in both the plain and plan-cached lanes. The reference
+evaluates one YAML configuration per field trial
+(aos_panel_plugin_params.cpp:59-125); the sweep is the batched equivalent."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from aosx.config import DRYRUN_STATICS as S, AosParams, params_as_f32
+from aosx.orchards import OrchardSpec
+from aosx.parallel.batch import rollout_one
+from aosx.parallel.sweep import (
+    grid_params, stack_params, summarize_sweep, sweep_rollouts,
+)
+
+SPEC = OrchardSpec(
+    n_rows=2, row_len=4.0, row_spacing=2.0, tree_spacing=1.0,
+    trunk_pts=10, noise_pts=16, origin=(2.0, 2.0), polygon_pad=1.0,
+)
+BUDGET = 60
+K = 2  # seeds per configuration
+
+
+def _bits(a):
+    a = np.asarray(a)
+    return a.view(np.uint32) if a.dtype == np.float32 else a
+
+
+def test_grid_params_order_and_values():
+    stacked, configs = grid_params(
+        heuristic_weight=[3.0, 1.0], docking_radius=[0.7, 0.25])
+    # sorted axis names: docking_radius outer, heuristic_weight inner
+    assert configs == [
+        {"docking_radius": 0.7, "heuristic_weight": 3.0},
+        {"docking_radius": 0.7, "heuristic_weight": 1.0},
+        {"docking_radius": 0.25, "heuristic_weight": 3.0},
+        {"docking_radius": 0.25, "heuristic_weight": 1.0},
+    ]
+    assert np.allclose(np.asarray(stacked.docking_radius),
+                       [0.7, 0.7, 0.25, 0.25])
+    assert np.allclose(np.asarray(stacked.heuristic_weight),
+                       [3.0, 1.0, 3.0, 1.0])
+    # untouched fields broadcast from the base
+    base = params_as_f32(AosParams())
+    assert np.allclose(np.asarray(stacked.path_step),
+                       np.full(4, float(base.path_step)))
+    with pytest.raises(ValueError):
+        grid_params(not_a_field=[1.0])
+    with pytest.raises(ValueError):
+        grid_params()
+
+
+@pytest.fixture(scope="module")
+def sweep_inputs():
+    stacked, configs = grid_params(heuristic_weight=[3.0, 1.0])
+    return stacked, configs
+
+
+@pytest.fixture(scope="module")
+def plain_sweep(sweep_inputs):
+    stacked, configs = sweep_inputs
+    res, stats = sweep_rollouts(
+        stacked, configs, K, SPEC, S, BUDGET,
+        batch=4, chunk_steps=20, refill=2, seed=5, ror_method="exact")
+    return res, stats
+
+
+def test_sweep_matches_per_config_rollout_one(sweep_inputs, plain_sweep):
+    """Rollout id c*K + k must equal rollout_one(key_k, params_c): per-lane
+    params actually route (a bug that ran every lane with row 0 would fail
+    the heuristic_weight=1.0 rows wherever the A* tie-break differs), and
+    the refill scheduler's records stay schedule-independent."""
+    stacked, configs = sweep_inputs
+    res, stats = plain_sweep
+    P = len(configs)
+    assert all(v.shape[0] == P * K for v in res.values())
+
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+    one = jax.jit(lambda k, p: rollout_one(
+        k, SPEC, p, S, BUDGET, ror_method="exact"))
+    for c in range(P):
+        p_c = jax.tree_util.tree_map(lambda x: x[c], stacked)
+        for k in range(K):
+            ref = jax.tree_util.tree_map(np.asarray, one(keys[k], p_c))
+            i = c * K + k
+            for name in ("completed", "steps_to_complete", "final_status",
+                         "waypoints", "guards"):
+                assert int(res[name][i]) == int(ref[name]), (c, k, name)
+            for name in ("travel_distance", "final_dist_to_origin"):
+                assert abs(float(res[name][i]) - float(ref[name])) < 1e-3, (
+                    c, k, name)
+
+
+def test_sweep_cached_matches_plain(sweep_inputs, plain_sweep):
+    """The plan-cached swept lanes (rollout_begin_cached/chunk_cached with
+    per-lane params) produce the same records as the plain swept lanes."""
+    stacked, configs = sweep_inputs
+    ref, _ = plain_sweep
+    got, _ = sweep_rollouts(
+        stacked, configs, K, SPEC, S, BUDGET,
+        batch=4, chunk_steps=20, refill=2, seed=5, ror_method="exact",
+        cached=True)
+    assert set(ref) == set(got)
+    for name in ref:
+        assert np.array_equal(_bits(ref[name]), _bits(got[name])), name
+
+
+def test_summarize_sweep_aggregates():
+    P, K_ = 2, 3
+    res = dict(
+        completed=np.array([1, 1, 0, 0, 0, 0], bool),
+        travel_distance=np.float32([10.0, 14.0, 99.0, 1.0, 2.0, 3.0]),
+        steps_to_complete=np.int32([40, 60, 999, 999, 999, 999]),
+        final_status=np.int32([0, 0, 1, 1, 0, 1]),
+        guards=np.int32([0, 0, 4, 0, 0, 0]),
+    )
+    table, agg = summarize_sweep(res, P, K_)
+    assert table["completed"].shape == (P, K_)
+    assert np.allclose(agg["completion_rate"], [2 / 3, 0.0])
+    assert np.isclose(agg["travel_mean"][0], 12.0)
+    assert np.isclose(agg["travel_std"][0], 2.0)
+    assert np.isnan(agg["travel_mean"][1])  # nothing completed
+    assert np.isclose(agg["steps_mean"][0], 50.0)
+    assert agg["failed"].tolist() == [1, 2]
+    assert agg["guard_flagged"].tolist() == [1, 0]
+
+
+def test_stack_params_roundtrip():
+    a = params_as_f32(AosParams())
+    b = params_as_f32(dataclasses.replace(AosParams(), docking_radius=0.3))
+    stacked = stack_params([a, b])
+    row1 = jax.tree_util.tree_map(lambda x: x[1], stacked)
+    for f in AosParams.__dataclass_fields__:
+        assert np.asarray(getattr(row1, f)) == np.asarray(getattr(b, f)), f
