@@ -1,0 +1,129 @@
+"""Parameter-sweep Monte-Carlo evaluation at production scale
+(parallel/sweep.py): a cartesian grid of AosParams configurations x paired
+orchard seeds through the sustained lane-refill harness, ONE compile.
+
+The reference's tuning loop is one YAML edit + one field trial per
+configuration (aos_panel_plugin_params.cpp:59-125 regex-patches the YAML);
+this is the batched equivalent — every configuration sees the SAME seed
+set (common random numbers), so per-config deltas are paired.
+
+Run: python benchmarks/bench_sweep.py [seeds_per_config] [batch] [steps] [outfile] [cached]
+Writes the JSON line to stdout AND benchmarks/SWEEP.json.
+"""
+
+import json
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # fail-fast chip liveness (see bench_sustained.py)
+    import jax.numpy as _jnp
+    _t = time.time()
+    assert float(np.asarray(_jnp.ones((8, 128)) * 2).sum()) == 2048.0
+    print(f"# chip alive ({(time.time() - _t) * 1e3:.0f} ms round-trip)",
+          file=_sys.stderr, flush=True)
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    import dataclasses
+
+    from aosx.config import TEST_STATICS
+    from aosx.orchards import OrchardSpec
+    from aosx.parallel.sweep import grid_params, summarize_sweep, sweep_rollouts
+
+    smoke = "smoke" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "smoke"]
+    if smoke:
+        # tiny-scale CPU validation (same shapes as tests/test_sweep.py)
+        from aosx.config import DRYRUN_STATICS
+        S = DRYRUN_STATICS
+        spec = OrchardSpec(
+            n_rows=2, row_len=4.0, row_spacing=2.0, tree_spacing=1.0,
+            trunk_pts=10, noise_pts=16, origin=(2.0, 2.0), polygon_pad=1.0,
+        )
+        defaults = (2, 4, 60, "SWEEP_SMOKE.json")
+        chunk_steps, refill, ror = 20, 2, "exact"
+    else:
+        S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
+                                exact_fallbacks=False, max_plan=1024)
+        spec = OrchardSpec(
+            n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
+            trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
+        )
+        defaults = (512, 128, 1200, "SWEEP.json")
+        chunk_steps, refill, ror = 150, 64, "sorted"
+    K = int(argv[0]) if len(argv) > 0 else defaults[0]
+    batch = int(argv[1]) if len(argv) > 1 else defaults[1]
+    steps = int(argv[2]) if len(argv) > 2 else defaults[2]
+    outfile = argv[3] if len(argv) > 3 else defaults[3]
+    cached = len(argv) > 4 and argv[4] == "cached"
+
+    # 2x2x2 grid over the planner knobs the reference panel exposes:
+    # A* heuristic weight (aos_path_gen_node.cpp:788,824), docking freeze
+    # radius (:249), path trim safety distance (:1575).
+    stacked, configs = grid_params(
+        heuristic_weight=[3.0, 1.0],
+        docking_radius=[0.7, 0.35],
+        trim_safety_distance=[0.2, 0.0],
+    )
+    P = len(configs)
+
+    last = [0.0]
+
+    def progress(n, tot, t):
+        if t - last[0] > 20 or n == tot:
+            last[0] = t
+            print(f"# {n}/{tot} rollouts recorded, {t:.0f}s, "
+                  f"{n / max(t, 1e-9):.2f}/s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    res, stats = sweep_rollouts(
+        stacked, configs, K, spec, S, steps,
+        batch=batch, chunk_steps=chunk_steps, refill=refill, ror_method=ror,
+        cached=cached, on_progress=progress,
+    )
+    wall = time.time() - t0
+    table, agg = summarize_sweep(res, P, K)
+    rps = stats["rollouts_per_sec"]
+    result = {
+        "metric": "mc_param_sweep_rollouts_per_sec_per_chip",
+        "plan_cached": cached,
+        "grid": [S.grid_h, S.grid_w],
+        "configurations": configs,
+        "seeds_per_config": K,
+        "total_rollouts": P * K,
+        "lanes": batch,
+        "steps_budget": steps,
+        "completed": int(res["completed"].sum()),
+        "guard_flagged_lanes": int((res["guards"] != 0).sum()),
+        "elapsed_s": round(stats["elapsed_s"], 1),
+        "wall_incl_compile_s": round(wall, 1),
+        "rollouts_per_sec_per_chip": round(rps, 2),
+        "projected_v5e8_rollouts_per_sec": round(8 * rps, 2),
+        "per_config": {
+            "completion_rate": [round(float(x), 4)
+                                for x in agg["completion_rate"]],
+            "travel_mean": [None if np.isnan(x) else round(float(x), 2)
+                            for x in agg["travel_mean"]],
+            "steps_mean": [None if np.isnan(x) else round(float(x), 1)
+                           for x in agg["steps_mean"]],
+            "failed": agg["failed"].tolist(),
+        },
+    }
+    print(json.dumps(result))
+    with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            outfile), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
