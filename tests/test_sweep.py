@@ -9,6 +9,7 @@ import dataclasses
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from aosx.config import DRYRUN_STATICS as S, AosParams, params_as_f32
@@ -128,6 +129,49 @@ def test_summarize_sweep_aggregates():
     assert np.isclose(agg["steps_mean"][0], 50.0)
     assert agg["failed"].tolist() == [1, 2]
     assert agg["guard_flagged"].tolist() == [1, 0]
+
+
+def test_sweep_composes_with_shard_map():
+    """C17 x sweep: per-lane AosParams rows shard across the mesh 'data'
+    axis exactly like the lane state — a parameter sweep runs distributed
+    over the v5e-8 mesh with each device evaluating its slice of the
+    (configuration, seed) grid, equal to the single-device vmap bitwise."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from aosx.parallel.batch import (
+        rollout_begin, rollout_chunk, rollout_finish,
+    )
+
+    cpus = jax.devices("cpu")
+    n_dev = min(len(cpus), 4)
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    mesh = Mesh(np.array(cpus[:n_dev]), ("data",))
+    # n_dev lanes: configuration-major rows over a 2-config sweep
+    stacked, _ = grid_params(heuristic_weight=[3.0, 1.0])
+    rows = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, n_dev // 2, axis=0), stacked)
+    keys = jax.random.split(jax.random.PRNGKey(11), n_dev // 2)
+    keys = keys[jnp.tile(jnp.arange(n_dev // 2), 2)]
+    n_steps, chunk = 40, 20
+
+    def lane(k, p):
+        world, st, acc = rollout_begin(k, SPEC, p, S, n_steps,
+                                       ror_method="exact")
+        for c in range(n_steps // chunk):
+            st, acc = rollout_chunk(world, st, acc, p, S, chunk,
+                                    jnp.int32(chunk * c))
+        return rollout_finish(st, acc, S)
+
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(jax.vmap(lane))(keys, rows)
+        got = jax.jit(jax.shard_map(
+            jax.vmap(lane), mesh=mesh, in_specs=P("data"),
+            out_specs=P("data"), check_vma=False,
+        ))(keys, rows)
+    for name in ref:
+        assert np.array_equal(np.asarray(ref[name]),
+                              np.asarray(got[name])), name
 
 
 def test_stack_params_roundtrip():
