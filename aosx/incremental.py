@@ -35,8 +35,12 @@ exactly. There are no approximations to guard.
 Contract (mirrors an index-stable SLAM feed): across updates the caller
 keeps poly/params/exclusions fixed, and previously-valid buffer slots keep
 their coordinates; new points appear in previously-invalid slots. Violations
-are DETECTED in-jit and handled by the exact fallback, so the contract is
-about speed, not correctness.
+of EITHER part are DETECTED in-jit and handled by the exact fallback, so the
+contract is about speed, not correctness: the carried state stores the
+(poly, params, exclusions) it was built with, and any leaf-wise difference
+(e.g. an operator adding an exclusion disc mid-survey, a changed clipping
+bound) forces the from-scratch branch even when the point delta is empty —
+a stale world can never be returned as a reuse level.
 
 ror_method note: the delta cross pass is always exact, so with
 ror_method="sorted" an incremental frame equals a from-scratch SORTED pass
@@ -83,6 +87,10 @@ class IncrementalState:
     cnt: Any        # [N] i32 ROR neighbor counts (meaningful where valid)
     keep: Any       # [N] bool final preprocess keep mask
     inflated: Any   # GridWorld (dilated, pre-borders)
+    cfg: Any        # (poly, params, exclusions) this state was built with;
+    # perceive_update compares leaf-wise and forces the from-scratch branch
+    # on ANY difference (the downstream world is a function of all three, so
+    # reuse would otherwise return a stale world on a config change)
     pre_guards: Any  # i32 PREPROCESS-era guard bits only (GUARD_ROR_SPAN);
     # kept separate so a level-2 downstream recompute reseeds cluster/graph
     # guards from scratch instead of accumulating stale bits from earlier
@@ -147,8 +155,43 @@ def perceive_init(pc: PointCloud, poly: Polygon, params: AosParams,
                              stencil_mesh, stencil_axis)
     return IncrementalState(
         xyz=pc.xyz, valid=valid, cnt=cnt, keep=keep,
-        inflated=inflated, pre_guards=guards, out=out, world=world,
+        inflated=inflated, cfg=_canon_cfg(poly, params, exclusions),
+        pre_guards=guards, out=out, world=world,
     )
+
+
+def _canon_cfg(poly, params, exclusions):
+    """The carried-config tuple, leaves canonicalized to STRONG dtypes (the
+    serving._canon trick: astype(own dtype) drops weakness, XLA elides the
+    copy). Both the stored and the incoming side pass through this, so the
+    lax.cond branches below always unify (a raw-Python-float AosParams would
+    otherwise carry weak f32 leaves that mismatch the carried strong ones)."""
+    def _strong(x):
+        a = jnp.asarray(x)
+        return a.astype(a.dtype)
+
+    return jax.tree_util.tree_map(_strong, (poly, params, exclusions))
+
+
+def _cfg_same(cfg_old, cfg_new):
+    """Every leaf of the carried config equals the incoming one.
+
+    Returns the Python literal False on a STATIC mismatch (different pytree
+    structure / shapes / dtypes, e.g. a different exclusion-buffer size) —
+    the caller must then take the from-scratch path OUTSIDE lax.cond,
+    because the two states' structures cannot unify as cond outputs.
+    Otherwise returns the traced scalar of leaf-wise equality."""
+    old_l, old_t = jax.tree_util.tree_flatten(cfg_old)
+    new_l, new_t = jax.tree_util.tree_flatten(cfg_new)
+    if old_t != new_t:
+        return False
+    if any(a.shape != b.shape or a.dtype != b.dtype
+           for a, b in zip(old_l, new_l)):
+        return False
+    same = jnp.bool_(True)
+    for a, b in zip(old_l, new_l):
+        same &= jnp.all(a == b)
+    return same
 
 
 def _cross_counts(all_pts, all_valid, dpts, dvalid, dcount, r2,
@@ -221,7 +264,18 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
     moved = jnp.any(st.valid[:, None] & (xyz_new != st.xyz))
     delta_mask = valid_new & ~st.valid
     dcount = jnp.sum(delta_mask.astype(jnp.int32))
-    needs_full = removed | moved | (dcount > D)
+    # the whole downstream world is a function of (poly, params, exclusions):
+    # any config change invalidates every reuse level, even with no new points
+    cfg_same = _cfg_same(st.cfg, _canon_cfg(poly, params, exclusions))
+    if cfg_same is False:
+        # static structure/shape change: the rebuilt state's pytree differs,
+        # so it cannot be a lax.cond branch output - recompute unconditionally
+        return (perceive_init(pc, poly, params, exclusions, s,
+                              ror_method=ror_method,
+                              stencil_mesh=stencil_mesh,
+                              stencil_axis=stencil_axis),
+                jnp.int32(LEVEL_FULL))
+    needs_full = removed | moved | (dcount > D) | ~cfg_same
 
     def full_branch(st):
         return perceive_init(pc, poly, params, exclusions, s,
@@ -266,8 +320,8 @@ def perceive_update(st: IncrementalState, pc: PointCloud, poly: Polygon,
 
         carried = IncrementalState(
             xyz=xyz_new, valid=valid_new, cnt=cnt, keep=keep,
-            inflated=inflated, pre_guards=st.pre_guards, out=st.out,
-            world=st.world,
+            inflated=inflated, cfg=st.cfg,  # == incoming (gated above)
+            pre_guards=st.pre_guards, out=st.out, world=st.world,
         )
 
         def unchanged_branch(c):
@@ -399,15 +453,15 @@ def replay_episode_incremental_cached(
         sv, level = serving.serve_map_frame(sv, pc_f, poly, params,
                                             exclusions, s,
                                             ror_method=ror_method)
-        lite = plancache.world_lite(sv.inc.world)
 
         def tick(st, _):
-            return plancache.step_cached(st, lite, sv.cache, params, s)
+            return plancache.step_cached(st, sv.lite, sv.cache, params, s)
 
         st, metrics = jax.lax.scan(tick, sv.st, None,
                                    length=steps_per_frame)
         metrics["inc_level"] = level
-        return serving.ServeState(inc=sv.inc, cache=sv.cache, st=st), metrics
+        return serving.ServeState(inc=sv.inc, cache=sv.cache, st=st,
+                                  lite=sv.lite), metrics
 
     sv, metrics = jax.lax.scan(frame_body, sv0, pc_frames)
     return (sv.st, metrics, sv.inc) if return_inc else (sv.st, metrics)

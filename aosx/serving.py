@@ -116,6 +116,10 @@ class ServeState:
     inc: Any    # IncrementalState (world + incremental intermediates)
     cache: Any  # PlanCache with carry row
     st: Any     # plancache.CachedEngineState (mission/control/robot/adopted)
+    lite: Any   # plancache.WorldLite — derived from inc.world, cached here
+    # so the per-tick executable neither re-reduces the graph's label table
+    # per odometry message nor needs the graph at all; refreshed wherever
+    # the world can change (serve_init / serve_map_frame)
 
 
 def serve_init(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
@@ -130,7 +134,8 @@ def serve_init(pc: PointCloud, poly: Polygon, params: AosParams, exclusions,
     cache0 = plancache.add_carry_row(
         plancache.build_plan_cache(inc0.world, params, s), s)
     return _canon(ServeState(inc=inc0, cache=cache0,
-                             st=plancache.initial_cached_state(inc0.world, s)))
+                             st=plancache.initial_cached_state(inc0.world, s),
+                             lite=plancache.world_lite(inc0.world)))
 
 
 def serve_map_frame(sv: ServeState, pc_f: PointCloud, poly: Polygon,
@@ -171,7 +176,8 @@ def serve_map_frame(sv: ServeState, pc_f: PointCloud, poly: Polygon,
         robot=sv.st.robot, mission=mission, control=sv.st.control, wp=wp,
         adopted=adopted, last_mod=sv.st.last_mod, t=sv.st.t,
     )
-    return _canon(ServeState(inc=inc, cache=cache, st=st)), level
+    return _canon(ServeState(inc=inc, cache=cache, st=st,
+                             lite=plancache.world_lite(inc.world))), level
 
 
 def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
@@ -188,7 +194,7 @@ def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
     closed-loop engine fed the same poses: tests/test_serving.py."""
     from .engine import Robot
 
-    lite = plancache.world_lite(sv.inc.world)
+    lite = sv.lite  # cached at world changes; the graph stays out of ticks
     st = dataclasses.replace(
         sv.st,
         robot=Robot(xy=jnp.asarray(robot_xy, jnp.float32),
@@ -202,4 +208,5 @@ def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
         goal_yaw=st.control.goal_yaw,
         plan_yaw=plancache.select_row(sv.cache.plan_yaw, st.adopted),
     )
-    return _canon(ServeState(inc=sv.inc, cache=sv.cache, st=st)), cmd
+    return _canon(ServeState(inc=sv.inc, cache=sv.cache, st=st,
+                             lite=sv.lite)), cmd

@@ -54,21 +54,36 @@ def _assert_chip_alive(timeout_s: float = 180.0):
     import jax.numpy as jnp
 
     ok = []
+    err = []
 
     def fetch():
-        ok.append(float(np.asarray(jnp.ones((8, 128)) * 2).sum()))
+        try:
+            ok.append(float(np.asarray(jnp.ones((8, 128)) * 2).sum()))
+        except Exception as e:  # noqa: BLE001 - diagnostic path
+            err.append(e)
 
     t0 = time.time()
     th = threading.Thread(target=fetch, daemon=True)
     th.start()
     th.join(timeout_s)
     if not ok:
-        print(
-            f"# FATAL: TPU backend unresponsive after {timeout_s:.0f}s "
-            "(known axon outage signature — see CLAUDE.md; retry later, "
-            "this is not a bench bug)",
-            file=sys.stderr, flush=True,
-        )
+        # the two outage signatures differ (CLAUDE.md): an error window
+        # raises within seconds, a dead chip hangs the fetch forever —
+        # report which one this is so the operator debugs the right thing
+        if err:
+            print(
+                f"# FATAL: TPU backend errored after {time.time() - t0:.1f}s"
+                f": {err[0]!r} (axon error-window signature — see CLAUDE.md;"
+                " retry later, this is not a bench bug)",
+                file=sys.stderr, flush=True,
+            )
+        else:
+            print(
+                f"# FATAL: TPU backend unresponsive after {timeout_s:.0f}s "
+                "(axon dead-chip hang signature — see CLAUDE.md; retry "
+                "later, this is not a bench bug)",
+                file=sys.stderr, flush=True,
+            )
         os._exit(17)
     assert ok[0] == 2048.0, ok
     print(f"# chip alive ({(time.time() - t0) * 1e3:.0f} ms round-trip)",

@@ -166,6 +166,53 @@ def test_incremental_contract_violations_fall_back(setup):
     assert int(level) == incremental.LEVEL_FULL
 
 
+def test_incremental_config_change_forces_full(setup):
+    """A changed exclusion disc / params leaf with an EMPTY point delta must
+    take the from-scratch branch, not return the stale world as a reuse
+    level (the downstream world is a function of poly/params/exclusions;
+    module-docstring contract). The review scenario: an operator adds an
+    exclusion zone mid-survey, the next SLAM frame has no new points."""
+    import dataclasses
+
+    bufs, valids, poly_j, params, excl = setup
+    init = jax.jit(
+        lambda pc: incremental.perceive_init(pc, poly_j, params, excl, S),
+    )
+    upd = jax.jit(
+        lambda st, pc, p, e: incremental.perceive_update(
+            st, pc, poly_j, p, e, S),
+    )
+    scratch = jax.jit(
+        lambda pc, p, e: engine.prepare_world_full(
+            pc, poly_j, p, e, S, ror_method="exact")[0],
+    )
+    pc = _pc(bufs, valids, 1)
+    st = init(pc)
+
+    # sanity: unchanged config + unchanged cloud stays full reuse
+    _, level = upd(st, pc, params, excl)
+    assert int(level) == incremental.LEVEL_REUSE_WORLD
+
+    # (a) an exclusion disc appears over real points, same buffer shape
+    first = int(np.flatnonzero(valids[1])[0])
+    excl_new = np.zeros(excl.shape, np.float32)
+    excl_new[0] = [bufs[1][first, 0], bufs[1][first, 1], 1.0]
+    excl_new = jnp.asarray(excl_new)
+    st_e, level = upd(st, pc, params, excl_new)
+    assert int(level) == incremental.LEVEL_FULL
+    _assert_world_equal(st_e.world, scratch(pc, params, excl_new))
+    # the new state carries the new config: repeating it is full reuse again
+    _, level = upd(st_e, pc, params, excl_new)
+    assert int(level) == incremental.LEVEL_REUSE_WORLD
+
+    # (b) a changed AosParams leaf (graph-stage knob) also invalidates
+    params_new = params_as_f32(dataclasses.replace(
+        AosParams(), proximity_edge_dist=0.25))
+    st_p, level = upd(st, pc, params_new, excl)
+    assert int(level) == incremental.LEVEL_FULL
+    _assert_world_equal(st_p.world, scratch(pc, params_new, excl))
+
+
 def test_incremental_level1_reuses_downstream(setup):
     """LEVEL_REUSE_DOWNSTREAM: the inflated plane changes but the skeleton
     is identical -> graph/costmat/waypoints reused, occupancy refreshed.
