@@ -22,6 +22,10 @@ run python benchmarks/bench_cached_step.py
 run python benchmarks/bench_sustained.py 4096 128 1200 150 64 SUSTAINED_CACHED.json cached
 # 4. production-scale parameter sweep -> SWEEP.json
 run python benchmarks/bench_sweep.py
+# 4b. cached 256-lane scaling point: the uncached path decayed with lanes
+#     (serial per-lane gathers in the big chunk step); cached ticks are row
+#     selects, so the decay may vanish -> measure it
+run python benchmarks/bench_sustained.py 4096 256 1200 150 128 SUSTAINED_CACHED_256.json cached
 # 5. re-emit the headline JSON so it embeds the artifacts measured above
 #    (steps 2-3 write the files bench.py folds in; compile cache is warm)
 run python bench.py
