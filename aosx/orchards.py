@@ -38,6 +38,16 @@ class OrchardSpec:
     origin: Tuple[float, float] = (4.0, 3.0)  # first row start (world m)
     jitter: float = 0.15             # per-tree position jitter (m)
     polygon_pad: float = 1.5         # polygon margin around the row bbox
+    # --- realism knobs (default 0.0 = the classic rectangular orchard; the
+    # generators are BIT-IDENTICAL to their pre-knob outputs at defaults:
+    # both knobs gate their PRNG draws / adds behind static Python branches)
+    row_curve: float = 0.0           # max lateral bow of a row (m): rows
+    # follow a sin arc like terrain-contoured plantings; stresses endpoint
+    # extraction + linearization (more regression segments per path)
+    dropout: float = 0.0             # per-tree missing probability: dead or
+    # removed trees leave gaps that can split a skeleton row into several
+    # clusters - the cluster/waypoint machinery must cope (real orchards do
+    # this; the reference's demo field relies on continuous rows)
 
 
 def make_orchard_np(spec: OrchardSpec, seed: int = 0):
@@ -52,9 +62,13 @@ def make_orchard_np(spec: OrchardSpec, seed: int = 0):
             x = ox + t * spec.tree_spacing
             cx = x + rng.normal(0, spec.jitter)
             cy = y + rng.normal(0, spec.jitter)
+            if spec.row_curve != 0.0:
+                cy += spec.row_curve * np.sin(np.pi * t / max(n_trees - 1, 1))
             ang = rng.uniform(0, 2 * np.pi, spec.trunk_pts)
             rad = rng.uniform(0, spec.trunk_radius, spec.trunk_pts)
             z = rng.uniform(-0.2, 0.4, spec.trunk_pts)
+            if spec.dropout > 0.0 and rng.uniform() < spec.dropout:
+                continue  # dead / removed tree: a gap in the row
             pts.append(
                 np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang), z], 1)
             )
@@ -70,14 +84,15 @@ def make_orchard_np(spec: OrchardSpec, seed: int = 0):
         1,
     )
     xyz = np.concatenate(pts + [noise], 0)
+    ytop = oy + (spec.n_rows - 1) * spec.row_spacing
+    if spec.row_curve > 0.0:
+        ytop += spec.row_curve  # bowed rows reach row_curve past the grid
     poly = np.array(
         [
             [ox - spec.polygon_pad, oy - spec.polygon_pad],
             [ox + spec.row_len + spec.polygon_pad, oy - spec.polygon_pad],
-            [ox + spec.row_len + spec.polygon_pad,
-             oy + (spec.n_rows - 1) * spec.row_spacing + spec.polygon_pad],
-            [ox - spec.polygon_pad,
-             oy + (spec.n_rows - 1) * spec.row_spacing + spec.polygon_pad],
+            [ox + spec.row_len + spec.polygon_pad, ytop + spec.polygon_pad],
+            [ox - spec.polygon_pad, ytop + spec.polygon_pad],
         ]
     )
     return xyz, poly
@@ -94,7 +109,10 @@ def make_orchard(key: jax.Array, spec: OrchardSpec, s: Statics):
     n_total = n_trunk + spec.noise_pts
     assert n_total <= s.max_points, (n_total, s.max_points)
 
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    if spec.dropout > 0.0:
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    else:
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     ox, oy = spec.origin
 
     rr = jnp.arange(spec.n_rows)
@@ -103,6 +121,9 @@ def make_orchard(key: jax.Array, spec: OrchardSpec, s: Statics):
     cx0 = ox + tt[None, :] * spec.tree_spacing          # [1,T]
     jit_x = spec.jitter * jax.random.normal(k1, (spec.n_rows, n_trees))
     jit_y = spec.jitter * jax.random.normal(k2, (spec.n_rows, n_trees))
+    if spec.row_curve != 0.0:  # static gate keeps defaults bit-identical
+        jit_y = jit_y + spec.row_curve * jnp.sin(
+            jnp.pi * tt / max(n_trees - 1, 1))[None, :]
     cx = (cx0 + jit_x)[..., None]                        # [R,T,1]
     cy = (cy0 + jit_y)[..., None]
 
@@ -125,15 +146,25 @@ def make_orchard(key: jax.Array, spec: OrchardSpec, s: Statics):
     xyz = xyz.at[:n_trunk].set(trunk.astype(jnp.float32))
     xyz = xyz.at[n_trunk : n_trunk + spec.noise_pts].set(noise.astype(jnp.float32))
     valid = jnp.arange(s.max_points) < n_total
+    if spec.dropout > 0.0:
+        # fixed shapes: dropped trees keep their buffer slots, only their
+        # validity flips (the preprocess mask path handles arbitrary valid)
+        keep_tree = jax.random.uniform(k7, (spec.n_rows, n_trees)) >= spec.dropout
+        trunk_valid = jnp.repeat(
+            keep_tree.reshape(-1), spec.trunk_pts, total_repeat_length=n_trunk)
+        valid = valid & jnp.concatenate(
+            [trunk_valid,
+             jnp.ones((s.max_points - n_trunk,), bool)])
 
+    ytop = oy + (spec.n_rows - 1) * spec.row_spacing
+    if spec.row_curve > 0.0:
+        ytop += spec.row_curve
     poly_np = np.array(
         [
             [ox - spec.polygon_pad, oy - spec.polygon_pad],
             [ox + spec.row_len + spec.polygon_pad, oy - spec.polygon_pad],
-            [ox + spec.row_len + spec.polygon_pad,
-             oy + (spec.n_rows - 1) * spec.row_spacing + spec.polygon_pad],
-            [ox - spec.polygon_pad,
-             oy + (spec.n_rows - 1) * spec.row_spacing + spec.polygon_pad],
+            [ox + spec.row_len + spec.polygon_pad, ytop + spec.polygon_pad],
+            [ox - spec.polygon_pad, ytop + spec.polygon_pad],
         ],
         np.float32,
     )
