@@ -86,7 +86,42 @@ def host_jit(fn):
     Unordered, because ordered effects reject multi-device programs
     ("ordered effects are not supported for more than 1 device") and the
     serving entry points accept a stencil_mesh. Inside lax.scan (the
-    replay composition) the bug cannot occur — use plain jax.jit there."""
+    replay composition) the bug cannot occur — use plain jax.jit there.
+
+    The axon TPU backend rejects ALL host-callback programs outright
+    ("UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks"
+    at first dispatch — killed the round-3 sustained/sweep TPU queue), so
+    when the computation targets that platform the same fast-path veto is
+    produced with a REF-STATE effect instead: an increment of a closed-over
+    jax.new_ref sentinel puts Write/ReadEffect on the top-level jaxpr, and
+    _get_fastpath_data equally refuses on `any(isinstance(e, RefEffect))`
+    (verified: 3 repeat calls, sentinel==3, no buffer-count failure). The
+    ref route is NOT used on CPU because the sentinel commits to one
+    device, which conflicts with multi-device (stencil_mesh) programs;
+    creating the ref INSIDE the jit doesn't work either — it is discharged
+    and the top level carries no effect (measured: fast path stays on)."""
+    # the axon device reports platform='tpu'; only client.platform_version
+    # ("PJRT C API\naxon 0.1.0; ...") identifies the callback-less plugin
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    pv = getattr(getattr(dev, "client", None), "platform_version", "") or ""
+    return _host_jit_ref(fn) if "axon" in pv else _host_jit_callback(fn)
+
+
+def _host_jit_ref(fn):
+    """Fast-path veto via a ref-state effect (axon route; host_jit docstring).
+    Single-device only: the sentinel commits to the default device."""
+    sent = jax.new_ref(jnp.zeros((), jnp.int32))
+
+    def wrapped(*args, **kwargs):
+        sent[...] = sent[...] + 1
+        return fn(*args, **kwargs)
+
+    return jax.jit(wrapped)
+
+
+def _host_jit_callback(fn):
+    """Fast-path veto via a no-op host callback (host_jit docstring)."""
+
     def wrapped(*args, **kwargs):
         jax.debug.callback(_noop)
         return fn(*args, **kwargs)

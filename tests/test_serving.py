@@ -147,3 +147,43 @@ def test_serving_checkpoint_resume(setup, tmp_path):
     assert set(cmds_cont) == set(cmds_res)
     for k in cmds_cont:
         assert _eq(cmds_cont[k], cmds_res[k]), k
+
+
+def test_host_jit_mechanisms_force_python_dispatch():
+    """Both host_jit routes must veto jax 0.9.0's C++ fast path (the
+    const-dropping dispatch bug, serving.host_jit docstring) by carrying a
+    top-level effect. The callback route is what CPU uses; the ref route is
+    what the axon backend uses (its PJRT rejects ALL host callbacks:
+    "UNIMPLEMENTED: axon_pjrt does not support host send/recv callbacks" —
+    this killed the round-3 sustained/sweep TPU queue before the fix).
+    On-chip verification of the ref route: 3 repeat calls, sentinel==3,
+    2026-08-19."""
+    from jax._src.state.types import RefEffect
+
+    from aosx.serving import _host_jit_callback, _host_jit_ref
+
+    def body(x):
+        return x * 2 + 1
+
+    x = jnp.ones((4,), jnp.float32)
+
+    # ref route: RefEffect on the top-level jaxpr (what _get_fastpath_data
+    # checks), repeat calls correct. Works single-device on any backend.
+    g = _host_jit_ref(body)
+    for _ in range(3):
+        assert np.array_equal(np.asarray(g(x)), np.full(4, 3.0, np.float32))
+    inner = g.__wrapped__  # the wrapped closure host_jit jitted
+    eff = jax.make_jaxpr(inner)(x).effects
+    assert any(isinstance(e, RefEffect) for e in eff), eff
+
+    # callback route: unordered effects present, repeat calls correct
+    f = _host_jit_callback(body)
+    for _ in range(3):
+        assert np.array_equal(np.asarray(f(x)), np.full(4, 3.0, np.float32))
+    eff = jax.make_jaxpr(f.__wrapped__)(x).effects
+    assert len(eff) > 0, eff
+
+    # the selector: this suite runs with the axon plugin unloadable, so
+    # host_jit must pick the callback route (identical wrapped behavior)
+    h = serving.host_jit(body)
+    assert np.array_equal(np.asarray(h(x)), np.full(4, 3.0, np.float32))
