@@ -131,3 +131,53 @@ def summarize_sweep(results: dict, P: int, K: int):
         guard_flagged=(table["guards"] != 0).sum(axis=1),
     )
     return table, agg
+
+
+def compare_configs(table, i: int, j: int, *,
+                    fields=("travel_distance", "steps_to_complete"),
+                    n_boot: int = 4096, seed: int = 0):
+    """Paired comparison of configurations i and j exploiting the sweep's
+    common-random-numbers layout (row i and row j of `table` ran the SAME K
+    orchard keys, sweep_rollouts docstring). Pairing cancels the per-orchard
+    variance that dominates unpaired comparisons, so far fewer seeds resolve
+    a configuration difference.
+
+    For each field: per-seed differences d_k = x_i[k] - x_j[k] over seeds
+    where BOTH configurations completed, with the mean and a percentile
+    bootstrap CI (resampling seeds — the exchangeable unit — with a fixed
+    PRNG seed for reproducibility). Completion is compared as a paired
+    discordance count (seeds only-i vs only-j completed — the information-
+    bearing cells of McNemar's test).
+
+    Returns a dict: per field {mean_diff, ci_lo, ci_hi, n_pairs}; plus
+    completion {rate_i, rate_j, only_i, only_j, n_seeds}. ci_lo/ci_hi are
+    NaN when fewer than 2 paired seeds completed. A CI excluding 0 means
+    the configurations genuinely differ on that metric at ~95% confidence.
+    """
+    comp = np.asarray(table["completed"]).astype(bool)
+    ci_mask = comp[i] & comp[j]
+    n_pairs = int(ci_mask.sum())
+    rng = np.random.default_rng(seed)
+    out = {}
+    for f in fields:
+        x = np.asarray(table[f], dtype=np.float64)
+        d = (x[i] - x[j])[ci_mask]
+        if n_pairs == 0:
+            out[f] = dict(mean_diff=np.nan, ci_lo=np.nan, ci_hi=np.nan,
+                          n_pairs=0)
+            continue
+        mean = float(d.mean())
+        if n_pairs < 2:
+            lo = hi = np.nan
+        else:
+            idx = rng.integers(0, n_pairs, size=(n_boot, n_pairs))
+            boot = d[idx].mean(axis=1)
+            lo, hi = (float(q) for q in np.percentile(boot, [2.5, 97.5]))
+        out[f] = dict(mean_diff=mean, ci_lo=lo, ci_hi=hi, n_pairs=n_pairs)
+    out["completion"] = dict(
+        rate_i=float(comp[i].mean()), rate_j=float(comp[j].mean()),
+        only_i=int((comp[i] & ~comp[j]).sum()),
+        only_j=int((~comp[i] & comp[j]).sum()),
+        n_seeds=int(comp.shape[1]),
+    )
+    return out

@@ -38,7 +38,9 @@ def main():
 
     from aosx.config import TEST_STATICS
     from aosx.orchards import OrchardSpec
-    from aosx.parallel.sweep import grid_params, summarize_sweep, sweep_rollouts
+    from aosx.parallel.sweep import (
+        compare_configs, grid_params, summarize_sweep, sweep_rollouts,
+    )
 
     smoke = "smoke" in sys.argv[1:]
     argv = [a for a in sys.argv[1:] if a != "smoke"]
@@ -118,6 +120,18 @@ def main():
                            for x in agg["steps_mean"]],
             "failed": agg["failed"].tolist(),
         },
+    }
+    # paired comparison (common random numbers): each non-default config row
+    # vs the default config (row 0); CI excluding 0 = a real planner-knob
+    # effect resolved at K seeds
+    result["paired_vs_default"] = {
+        str(configs[i]): {
+            f: {k: (None if isinstance(v, float) and np.isnan(v)
+                    else round(v, 3) if isinstance(v, float) else v)
+                for k, v in d.items()}
+            for f, d in compare_configs(table, i, 0).items()
+        }
+        for i in range(1, P)
     }
     print(json.dumps(result))
     with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),

@@ -131,6 +131,47 @@ def test_summarize_sweep_aggregates():
     assert agg["guard_flagged"].tolist() == [1, 0]
 
 
+def test_compare_configs_paired():
+    """compare_configs: paired differences over both-completed seeds only,
+    bootstrap CI brackets a constant shift exactly, discordant completion
+    counts, and the degenerate no-pairs case returns NaNs."""
+    from aosx.parallel.sweep import compare_configs
+
+    K_ = 8
+    rng = np.random.default_rng(3)
+    base = rng.uniform(50.0, 150.0, size=K_)   # large per-orchard variance
+    comp = np.ones((2, K_), bool)
+    comp[0, 5] = False                          # only j completed seed 5
+    comp[1, 6] = comp[1, 7] = False             # only i completed 6, 7
+    table = dict(
+        completed=comp,
+        travel_distance=np.stack([base + 1.5, base]),   # constant paired shift
+        steps_to_complete=np.stack([base * 2, base * 2]).astype(np.int32),
+    )
+    out = compare_configs(table, 0, 1)
+    td = out["travel_distance"]
+    assert td["n_pairs"] == 5
+    assert np.isclose(td["mean_diff"], 1.5)
+    # constant shift: every bootstrap resample has mean exactly 1.5
+    assert np.isclose(td["ci_lo"], 1.5) and np.isclose(td["ci_hi"], 1.5)
+    st = out["steps_to_complete"]
+    assert np.isclose(st["mean_diff"], 0.0)
+    assert st["ci_lo"] <= 0.0 <= st["ci_hi"]
+    c = out["completion"]
+    assert (c["only_i"], c["only_j"], c["n_seeds"]) == (2, 1, K_)
+    assert np.isclose(c["rate_i"], 7 / 8) and np.isclose(c["rate_j"], 6 / 8)
+
+    # unpaired comparison would NOT resolve the 1.5 m shift at this K and
+    # variance — the pairing is what makes the sweep statistically usable
+    sd_unpaired = np.std(base)
+    assert sd_unpaired / np.sqrt(K_) > 1.5
+
+    table["completed"] = np.zeros((2, K_), bool)
+    out0 = compare_configs(table, 0, 1)
+    assert out0["travel_distance"]["n_pairs"] == 0
+    assert np.isnan(out0["travel_distance"]["mean_diff"])
+
+
 def test_sweep_composes_with_shard_map():
     """C17 x sweep: per-lane AosParams rows shard across the mesh 'data'
     axis exactly like the lane state — a parameter sweep runs distributed
