@@ -97,6 +97,14 @@ class Statics:
     # aos_seed_gen_node.cpp:2093)
     seed_raycast_max: float = 4.0
 
+    # Enumeration cap (m) for the path-trim disc offsets (shape-determining:
+    # sets the offset count / distance-plane reach). The RUNTIME trim radius
+    # is params.trim_safety_distance (traced, sweepable up to this cap;
+    # values above it trim as if capped). Default equals the reference's
+    # declared trim_safety_distance (aos_path_gen_node.cpp:1575) so the
+    # default-config plane costs exactly what the old binary plane did.
+    trim_max_distance: float = 0.2
+
     # Iteration caps for fixpoint loops
     skeleton_max_iters: int = 64       # Zhang-Suen outer iterations cap
     ccl_max_iters: int = 32            # connected-components pointer jumping

@@ -53,7 +53,7 @@ class World:
     waypoints: Any     # Waypoints (initial tour)
     guards: Any = dataclasses.field(
         default_factory=lambda: jnp.int32(0))  # aosx.guards bitmask
-    # skeleton dilated by the trim disc (plan.mission.trim_dilated_plane);
+    # skeleton dilated by the trim disc (plan.mission.trim_distance_plane);
     # None -> _trim uses the per-offset formulation (identical decisions,
     # ~50x more gathers - fine unbatched, expensive under vmap)
     trim_skel: Any = None
@@ -111,7 +111,7 @@ def world_from_perceive(out, params: AosParams, s: Statics, *,
     path (aosx/incremental.py), so their bit-equivalence is structural."""
     graph = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, s,
                             stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
-    from .plan.mission import trim_dilated_plane
+    from .plan.mission import trim_distance_plane
 
     return World(
         skeleton=out.skeleton,
@@ -120,7 +120,7 @@ def world_from_perceive(out, params: AosParams, s: Statics, *,
         costmat=cost_matrix(graph, s),
         waypoints=build_waypoints(graph, params, s),
         guards=out.guards | graph.guards,
-        trim_skel=trim_dilated_plane(out.skeleton, s),
+        trim_skel=trim_distance_plane(out.skeleton, s),
     )
 
 

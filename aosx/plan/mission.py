@@ -352,51 +352,70 @@ def _yaws(xy, count, last_yaw):
 
 
 def _trim_offsets(s: Statics):
+    """(dy, dx, dist_m) cell offsets within s.trim_max_distance — the STATIC
+    enumeration cap for the sweepable params.trim_safety_distance. The
+    distance is the same f64 hypot*res the reference computes per offset
+    (cpp:1586-1597), cast to f32 at the comparison site."""
     import math
 
     res = s.resolution
-    rc = int(math.ceil(0.2 / res))
+    rc = int(math.ceil(s.trim_max_distance / res))
     return [
-        (dy, dx)
+        (dy, dx, math.hypot(dx, dy) * res)
         for dy in range(-rc, rc + 1)
         for dx in range(-rc, rc + 1)
-        if math.hypot(dx, dy) * res <= 0.2
+        if math.hypot(dx, dy) * res <= s.trim_max_distance
     ]
 
 
-def trim_dilated_plane(skel: GridWorld, s: Statics):
-    """Skeleton occupancy dilated by _trim's 0.2 m disc, computed ONCE per
-    world. With it, _trim is one lookup per path point instead of one per
+_TRIM_FAR = jnp.float32(3.4e38)
+
+
+def trim_distance_plane(skel: GridWorld, s: Statics):
+    """Per-cell min distance (m, f32) to an occupied skeleton cell within
+    s.trim_max_distance (+3.4e38 where none), computed ONCE per world. With
+    it, _trim is one lookup + compare per path point instead of one per
     (point, disc offset) - the offset gathers were ~7 ms/tick of the
     batched Monte-Carlo step at batch 128 (benchmarks/probe_step_ablation).
+
+    A DISTANCE plane instead of the former binary dilation makes the
+    reference's trim_safety_distance ROS parameter (declared 0.2,
+    aos_path_gen_node.cpp:1575) a LIVE traced AosParams field — sweepable
+    per lane (parallel/sweep.py) without rebuilding the world. At
+    trim_safety_distance == trim_max_distance the decisions equal the old
+    binary plane's bit-for-bit: the same offsets are enumerated and every
+    enumerated f32 distance satisfies <= f32(cap) (membership == compare;
+    pinned in tests/test_plan.py). Values above the cap trim as if capped —
+    distances beyond it are recorded as +inf by construction.
+
     Occupied cells exist only inside the live region (zero elsewhere), so
     zero-fill shifts reproduce the per-offset in-grid test."""
     from ..perceive.raster import shift2d
 
     occ1 = (skel.occ == 1).astype(jnp.uint8)
-    out = jnp.zeros_like(occ1)
-    for dy, dx in _trim_offsets(s):
-        out = jnp.maximum(out, shift2d(occ1, -dy, -dx))
+    out = jnp.full(skel.occ.shape, _TRIM_FAR, jnp.float32)
+    for dy, dx, dist in _trim_offsets(s):
+        hit = shift2d(occ1, -dy, -dx) == 1
+        out = jnp.minimum(out, jnp.where(hit, jnp.float32(dist), _TRIM_FAR))
     return out
 
 
 def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics,
           trim_plane=None):
     """trimPathNearOccupiedRegions (cpp:1570-1630): first index i >= 1 whose
-    0.2 m disc touches an occupied skeleton cell truncates the path to i.
+    params.trim_safety_distance disc touches an occupied skeleton cell
+    truncates the path to i.
 
-    With a precomputed trim_plane (trim_dilated_plane), the disc test is one
-    dilated-plane lookup at the point's own cell. This deviates from the
-    per-offset world arithmetic only when (x - origin)/res sits within one
-    f32 ulp of a cell boundary (the reference does this arithmetic in f64
-    anyway - documented deviation PARITY.md #4) or when a path point lies
-    OUTSIDE the grid with its disc poking in (paths stay inside the map)."""
-    import math
-
-    res = s.resolution
-    rc = int(math.ceil(0.2 / res))
+    With a precomputed trim_plane (trim_distance_plane), the disc test is
+    one distance lookup + compare at the point's own cell. This deviates
+    from the per-offset world arithmetic only when (x - origin)/res sits
+    within one f32 ulp of a cell boundary (the reference does this
+    arithmetic in f64 anyway - documented deviation PARITY.md #4) or when a
+    path point lies OUTSIDE the grid with its disc poking in (paths stay
+    inside the map)."""
     offs = _trim_offsets(s)
-    resf = jnp.float32(res)
+    resf = jnp.float32(s.resolution)
+    trim = params.trim_safety_distance
     H, W = skel.occ.shape
 
     if trim_plane is not None:
@@ -404,7 +423,7 @@ def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics,
         my = ((xy[:, 1] - skel.origin_y) / resf).astype(jnp.int32)
         ing = (mx >= 0) & (mx < skel.w_cells) & (my >= 0) & (my < skel.h_cells)
         flat = jnp.clip(my, 0, H - 1) * W + jnp.clip(mx, 0, W - 1)
-        too_close = (trim_plane.reshape(-1)[flat] == 1) & ing
+        too_close = (trim_plane.reshape(-1)[flat] <= trim) & ing
         idx = jnp.arange(xy.shape[0])
         bad = too_close & (idx >= 1) & (idx < count)
         first_bad = jnp.min(jnp.where(bad, idx, xy.shape[0]))
@@ -415,6 +434,7 @@ def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics,
     # of P, and flat 1D indexing beats 2D — CLAUDE.md profile notes).
     dys = jnp.array([o[0] for o in offs], jnp.float32)[:, None]
     dxs = jnp.array([o[1] for o in offs], jnp.float32)[:, None]
+    dst = jnp.array([o[2] for o in offs], jnp.float32)[:, None]
     cx = xy[None, :, 0] + dxs * resf
     cy = xy[None, :, 1] + dys * resf
     mx = ((cx - skel.origin_x) / resf).astype(jnp.int32)
@@ -422,7 +442,7 @@ def _trim(xy, yaw, count, skel: GridWorld, params: AosParams, s: Statics,
     ing = (mx >= 0) & (mx < skel.w_cells) & (my >= 0) & (my < skel.h_cells)
     flat = jnp.clip(my, 0, H - 1) * W + jnp.clip(mx, 0, W - 1)
     occ = skel.occ.reshape(-1)[flat.reshape(-1)].reshape(flat.shape) == 1
-    too_close = jnp.any(occ & ing, axis=0)
+    too_close = jnp.any(occ & ing & (dst <= trim), axis=0)
     idx = jnp.arange(xy.shape[0])
     bad = too_close & (idx >= 1) & (idx < count)
     first_bad = jnp.min(jnp.where(bad, idx, xy.shape[0]))
@@ -440,7 +460,7 @@ def plan_current_path(
     s: Statics,
     *,
     use_current_position=None,  # robot xy for the next_waypoint service path
-    trim_plane=None,            # precomputed trim_dilated_plane (optional)
+    trim_plane=None,            # precomputed trim_distance_plane (optional)
 ):
     """planAndPublishPath (cpp:976-1567). Returns (Path, success bool)."""
     P = s.max_path

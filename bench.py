@@ -165,12 +165,12 @@ def main():
 
     @jax.jit
     def stage_plan(out, g, cm, wp, params):
-        from aosx.plan.mission import trim_dilated_plane
+        from aosx.plan.mission import trim_distance_plane
 
         world = engine.World(
             skeleton=out.skeleton, occupancy=out.occupancy, graph=g,
             costmat=cm, waypoints=wp,
-            trim_skel=trim_dilated_plane(out.skeleton, S),
+            trim_skel=trim_distance_plane(out.skeleton, S),
         )
         st0 = engine.initial_state(world, S)
         st1, metrics = engine.step(st0, world, params, S)
@@ -190,14 +190,14 @@ def main():
         g = build_gvd_graph(out.seeds, out.rows_sorted, out.skeleton, params, S)
         cm = cost_matrix(g, S)
         wp = build_waypoints(g, params, S)
-        from aosx.plan.mission import trim_dilated_plane
+        from aosx.plan.mission import trim_distance_plane
 
         # trim_skel matches prepare_world_full's production path: the one-time
-        # dilated plane replaces the per-offset trim formulation in the step
+        # distance plane replaces the per-offset trim formulation in the step
         world = engine.World(
             skeleton=out.skeleton, occupancy=out.occupancy, graph=g,
             costmat=cm, waypoints=wp,
-            trim_skel=trim_dilated_plane(out.skeleton, S),
+            trim_skel=trim_distance_plane(out.skeleton, S),
         )
         st0 = engine.initial_state(world, S)
         st1, metrics = engine.step(st0, world, params, S)

@@ -69,13 +69,23 @@ def main():
     outfile = argv[3] if len(argv) > 3 else defaults[3]
     cached = len(argv) > 4 and argv[4] == "cached"
 
-    # 2x2x2 grid over the planner knobs the reference panel exposes:
-    # A* heuristic weight (aos_path_gen_node.cpp:788,824), docking freeze
-    # radius (:249), path trim safety distance (:1575).
+    # 2x2x2 grid over knobs that SHOULD move the closed-loop metrics: trim
+    # safety distance (aos_path_gen_node.cpp:1575 — live since the distance
+    # plane; 0.0 disables path trimming entirely), virtual seed spacing
+    # (aos_seed_gen_node.cpp:2666 — a PERCEPTION knob: the world itself is
+    # rebuilt per value, demonstrating the sweep spans the full pipeline),
+    # and the semi-precise arrival threshold (aos_state_machine_node.cpp:125
+    # — when mod 3 fires, hence where the robot stops per waypoint).
+    # NEGATIVE result from the 2026-08-19 run (SWEEP_NULL_KNOBS.json kept as
+    # evidence): heuristic_weight 3 vs 1 and docking_radius 0.7 vs 0.35 are
+    # paired-CI [0,0] over 512 seeds — docking_radius only gates WHEN the
+    # waiting flag freezes replanning (motion continues to the same control
+    # thresholds), and on these corridor graphs weighted A* finds the same
+    # routes as exact A*. Honest zeros, measured, not swept again.
     stacked, configs = grid_params(
-        heuristic_weight=[3.0, 1.0],
-        docking_radius=[0.7, 0.35],
         trim_safety_distance=[0.2, 0.0],
+        virtual_seed_interval=[1.0, 2.0],
+        sm_semi_dist=[0.1, 0.25],
     )
     P = len(configs)
 

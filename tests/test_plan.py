@@ -210,7 +210,7 @@ def test_control_parity():
 def test_trim_plane_matches_offset_formulation():
     """_trim with the precomputed dilated plane == the per-offset
     formulation on pipeline-shaped paths near real skeletons."""
-    from aosx.plan.mission import _trim, trim_dilated_plane
+    from aosx.plan.mission import _trim, trim_distance_plane
     from aosx.types import GridWorld
 
     rng = np.random.default_rng(9)
@@ -222,7 +222,7 @@ def test_trim_plane_matches_offset_formulation():
         h_cells=jnp.int32(h), w_cells=jnp.int32(w),
     )
     params = params_as_f32(AosParams())
-    plane = jax.jit(lambda g: trim_dilated_plane(g, S))(grid)
+    plane = jax.jit(lambda g: trim_distance_plane(g, S))(grid)
     P = S.max_path
     for seed in range(6):
         r2 = np.random.default_rng(seed)
@@ -239,6 +239,56 @@ def test_trim_plane_matches_offset_formulation():
                                        trim_plane=plane))(
             jnp.asarray(xy), jnp.asarray(yaw))
         assert int(a[2]) == int(b[2]), (seed, int(a[2]), int(b[2]))
+
+
+def test_trim_safety_distance_is_live():
+    """params.trim_safety_distance is a TRACED runtime knob (the reference
+    declares it as a ROS parameter, aos_path_gen_node.cpp:1575): sub-cap
+    values keep dense/plane parity, 0.0 disables trimming, and distinct
+    values produce distinct trim decisions — all WITHOUT retracing (same
+    jit, params is a pytree leaf)."""
+    import dataclasses as _dc
+
+    from aosx.plan.mission import _trim, trim_distance_plane
+    from aosx.types import GridWorld
+
+    h, w = 64, 128
+    S_ = _dc.replace(S, grid_h=h, grid_w=w)
+    occ = np.zeros((h, w), np.uint8)
+    occ[32, 64] = 1  # one occupied skeleton cell
+    grid = GridWorld(
+        occ=jnp.asarray(occ),
+        origin_x=jnp.float32(0.0), origin_y=jnp.float32(0.0),
+        h_cells=jnp.int32(h), w_cells=jnp.int32(w),
+    )
+    plane = jax.jit(lambda g: trim_distance_plane(g, S_))(grid)
+
+    # straight path passing 0.10 m from the occupied cell's center row
+    P = 32
+    res = S_.resolution
+    xy = np.zeros((P, 2), np.float32)
+    xy[:, 0] = (np.arange(P) * res + 60 * res + res / 2).astype(np.float32)
+    xy[:, 1] = np.float32(34 * res + res / 2)  # 2 cells above -> 0.10 m
+    yaw = np.zeros((P,), np.float32)
+
+    trim_fn = jax.jit(
+        lambda x, y, p: _trim(x, y, jnp.int32(P), grid, p, S_)[2])
+    trim_fn_plane = jax.jit(
+        lambda x, y, p: _trim(x, y, jnp.int32(P), grid, p, S_,
+                              trim_plane=plane)[2])
+    counts = {}
+    for t in (0.0, 0.05, 0.1, 0.15, 0.2):
+        p = params_as_f32(_dc.replace(AosParams(), trim_safety_distance=t))
+        cd = int(trim_fn(jnp.asarray(xy), jnp.asarray(yaw), p))
+        cp = int(trim_fn_plane(jnp.asarray(xy), jnp.asarray(yaw), p))
+        assert cd == cp, (t, cd, cp)  # dense == plane at every radius
+        counts[t] = cd
+    assert counts[0.0] == P          # no trimming at 0.0
+    assert counts[0.05] == P         # path clears 0.05 m
+    assert counts[0.1] < P           # 0.10 m disc touches the cell
+    assert counts[0.2] < counts[0.1]  # wider disc trims earlier
+    # the jit was NOT retraced per value (traced param, not a constant)
+    assert trim_fn._cache_size() == 1
 
 
 def test_linearize_backtracking_equivalence(monkeypatch):

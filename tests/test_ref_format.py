@@ -25,7 +25,7 @@ from aosx.oracle import gvd as og
 from aosx.oracle import perceive as op
 from aosx.orchards import OrchardSpec, make_orchard_np
 from aosx.plan.astar import cost_matrix
-from aosx.plan.mission import build_waypoints, trim_dilated_plane
+from aosx.plan.mission import build_waypoints, trim_distance_plane
 from aosx.types import STATUS_STRINGS, GridWorld
 
 
@@ -105,7 +105,7 @@ def test_reference_graph_drives_full_episode():
     occ = _grid_to_world(ores.occupancy, S)
     build = jax.jit(lambda g, sk: (cost_matrix(g, S),
                                    build_waypoints(g, params, S),
-                                   trim_dilated_plane(sk, S)))
+                                   trim_distance_plane(sk, S)))
     costmat, wp, trim = build(graph, skel)
     assert int(wp.count) >= 4, "reference graph produced no waypoint tour"
 
