@@ -186,7 +186,20 @@ def build_plan_cache(world, params: AosParams, s: Statics,
         plan = linearize(raw, params, s)
         return raw, plan, success
 
-    raws, plans, success = jax.vmap(one)(missions, wps)
+    # lax.map (sequential scan over rows), NOT jax.vmap: under an OUTER lane
+    # vmap (parallel/batch.rollout_begin_cached) the 3-level nest
+    # lanes x rows x astar-candidates is MISCOMPILED by the axon TPU
+    # toolchain at lane width >= 16 — specific rows come back
+    # success=False/count=0 (deterministic, data-dependent, bit-clean at
+    # widths 4/8, reproduced with the SAME world tiled into every lane, real
+    # v5e 2026-08-19; this silently stalled 86% of plan-cached sustained MC
+    # rollouts). The scan keeps the primitive-level batch 2-D
+    # (lanes x candidates), the shape the plain per-tick path runs at width
+    # 128 with full parity. Sequentializing rows costs nothing measurable:
+    # the lockstep A* while_loop already ran every row to the max trip
+    # count. tests/test_plancache.py pins bitwise episode equality on CPU;
+    # benchmarks/repro_cached_divergence.py is the TPU-scale check.
+    raws, plans, success = jax.lax.map(lambda mw: one(*mw), (missions, wps))
 
     # row W+4 = the engine's initial empty /aos/path and its linearization
     # (the /plan content every tick publishes until the first adoption)

@@ -238,7 +238,17 @@ def main():
         p = os.path.join(bdir, fname)
         if os.path.exists(p):
             with open(p) as f:
-                result[out_key] = json.load(f)["rollouts_per_sec_per_chip"]
+                art = json.load(f)
+            # a throughput headline is only meaningful if the rollouts
+            # actually finish: the 2026-08-19 miscompile (ROUND3.md "late
+            # find") produced a FAST artifact whose lanes silently stalled
+            # (573/4096 completed). Gate on completion so that failure mode
+            # can never masquerade as a result again.
+            rate = art["completed"] / max(art["total_rollouts"], 1)
+            if rate >= 0.95:
+                result[out_key] = art["rollouts_per_sec_per_chip"]
+            else:
+                result[out_key + "_INVALID_completion_rate"] = round(rate, 3)
     # steady-state closed-loop tick (plan cache; bench_cached_step.py)
     p = os.path.join(bdir, "CACHED_STEP.json")
     if os.path.exists(p):

@@ -1,10 +1,13 @@
-"""Reproduce the SUSTAINED_CACHED completion gap (2026-08-19 queue):
-cached sustained rollouts completed 573/4096 vs 4083/4096 uncached at the
-MC statics (jfa_dynamic_shifts=False, exact_fallbacks=False, max_plan=1024),
-while every plancache parity test (DRYRUN/TEST statics) is bitwise green.
+"""Episode-level plain-vs-cached differential at the exact bench MC statics.
 
-Runs engine.episode vs plancache.episode_cached on the first bench orchard
-keys at the exact bench statics and reports the first divergent tick/metric.
+HISTORY: written while hunting the SUSTAINED_CACHED completion gap
+(2026-08-19: cached sustained completed 573/4096 vs 4083/4096 uncached).
+This CPU episode-level check stays GREEN — the gap was an axon-TPU
+miscompile of the 3-level vmap nest in the lane-batched cache build
+(lanes x rows x astar-candidates, lane width >= 16), fixed by lax.map over
+rows in plan/plancache.py. The on-chip minimal repro + per-width verdict
+lives in benchmarks/probe_vmap_nest_miscompile.py; this script remains the
+cheap CPU-side semantic differential for future cached-path regressions.
 
 Run: PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python benchmarks/repro_cached_divergence.py
 """
