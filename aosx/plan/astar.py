@@ -42,10 +42,17 @@ def cost_matrix(graph: GvdGraph, s: Statics):
     return flat.reshape(N, N)
 
 
-def astar(costmat, nodes, node_valid, start, goal, weight, s: Statics):
+def astar(costmat, nodes, node_valid, start, goal, weight, s: Statics,
+          enabled=None):
     """Single-source weighted A* (f = g + w*h, h = euclidean to goal;
     cpp:800-896). Returns (path [max_path] i32 padded with -1, path_len i32,
-    found bool). Pops the open node with min f (ties: lowest index)."""
+    found bool). Pops the open node with min f (ties: lowest index).
+
+    enabled (optional traced bool): when False the search is skipped — the
+    while_loop starts done, costing ~0 iterations — and (empty, 0, False) is
+    returned, exactly what an unreachable search would produce. Used by
+    build_plan_cache to make dead cache rows (configs whose A* result is
+    provably never read) free under its sequential row scan."""
     N = s.max_nodes
     goal_xy = nodes[goal]
     h = jnp.sqrt(jnp.sum((nodes - goal_xy[None, :]) ** 2, axis=1)) * weight
@@ -60,6 +67,8 @@ def astar(costmat, nodes, node_valid, start, goal, weight, s: Statics):
     has_nb_start = jnp.any(costmat[start] < INF)
     has_nb_goal = jnp.any(costmat[goal] < INF)
     runnable = start_ok & has_nb_start & has_nb_goal & (start != goal)
+    if enabled is not None:
+        runnable = runnable & enabled
 
     def cond(st):
         g, parent, open_, closed, done, it = st
@@ -105,6 +114,8 @@ def astar(costmat, nodes, node_valid, start, goal, weight, s: Statics):
     path = jnp.where(idx < ln, rev[jnp.clip(ln - 1 - idx, 0, P - 1)], -1)
     # single-node degenerate case start == goal (cpp:808-811)
     trivial = start_ok & (start == goal)
+    if enabled is not None:
+        trivial = trivial & enabled
     path = jnp.where(trivial, jnp.full((P,), -1, jnp.int32).at[0].set(start), path)
     ln = jnp.where(trivial, 1, jnp.where(found, ln, 0))
     return path, ln, found | trivial
@@ -130,17 +141,19 @@ def k_nearest_nodes(nodes, node_valid, point, k: int):
     return idx.astype(jnp.int32)
 
 
-def plan_between(costmat, nodes, node_valid, start_point, goal_node, params, s: Statics):
+def plan_between(costmat, nodes, node_valid, start_point, goal_node, params,
+                 s: Statics, enabled=None):
     """The k-candidate-start planning core (cpp:1282-1386): try A* from each
     of the 5 nearest nodes to start_point (skipping the goal itself), score =
     dist(start, candidate) + path cost, keep the best.
 
-    Returns (path [max_path] i32, path_len, found)."""
+    Returns (path [max_path] i32, path_len, found). enabled: see astar."""
     cands = k_nearest_nodes(nodes, node_valid, start_point, s.astar_k)
 
     def one(c):
         path, ln, found = astar(
-            costmat, nodes, node_valid, c, goal_node, params.heuristic_weight, s
+            costmat, nodes, node_valid, c, goal_node, params.heuristic_weight,
+            s, enabled=enabled
         )
         usable = found & (ln > 1) & (c != goal_node)
         cost = path_cost(costmat, nodes, path, ln) + jnp.sqrt(

@@ -461,6 +461,8 @@ def plan_current_path(
     *,
     use_current_position=None,  # robot xy for the next_waypoint service path
     trim_plane=None,            # precomputed trim_distance_plane (optional)
+    astar_enabled=None,         # traced bool: skip the graph search entirely
+    #                             (build_plan_cache dead rows; see astar)
 ):
     """planAndPublishPath (cpp:976-1567). Returns (Path, success bool)."""
     P = s.max_path
@@ -498,7 +500,8 @@ def plan_current_path(
     goal = jnp.where(origin_return, nearest_to_target, jnp.maximum(target_node, 0))
 
     node_path, plen, found = plan_between(
-        costmat, graph.nodes, graph.node_valid, start_point, goal, params, s
+        costmat, graph.nodes, graph.node_valid, start_point, goal, params, s,
+        enabled=astar_enabled,
     )
 
     # candidates: [1 start] + [P nodes] + [P tail/target]

@@ -179,9 +179,22 @@ def build_plan_cache(world, params: AosParams, s: Statics,
     )
 
     def one(m, wp):
+        # dead-row gate: the graph search's result is provably never read
+        # for rows where it cannot be adopted —
+        #   row 0 (~initial_reached): the straight-line branch is selected
+        #     unconditionally (plan_current_path: use_straight), gxy is dead;
+        #   rows with target outside [0, wp.count): success = found & have_wp
+        #     is already forced False, count is forced 0, and step_cached
+        #     only ever reads xy/nonfinite of ADOPTED rows (adoption requires
+        #     success) — mid-tour rows past the actual tour, W+3, W+4.
+        # Skipping their A* keeps episodes bit-identical
+        # (tests/test_plancache.py) and makes dead rows ~free under the
+        # sequential row scan: with the bench's ~9-waypoint tours only ~12 of
+        # the 25 rows pay a search.
+        live = m.initial_reached & (m.target_wp >= 0) & (m.target_wp < wp.count)
         raw, success = plan_current_path(
             m, wp, world.graph, world.costmat, world.skeleton, params, s,
-            trim_plane=world.trim_skel,
+            trim_plane=world.trim_skel, astar_enabled=live,
         )
         plan = linearize(raw, params, s)
         return raw, plan, success
