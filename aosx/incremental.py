@@ -412,6 +412,47 @@ def replay_episode_incremental(
     return (st, metrics, inc) if return_inc else (st, metrics)
 
 
+def serve_frames(
+    sv,  # serving.ServeState
+    pc_frames: PointCloud,  # stacked [F, ...] snapshots
+    poly: Polygon,
+    params: AosParams,
+    exclusions,
+    s: Statics,
+    steps_per_frame: int,
+    *,
+    ror_method: str = "exact",
+):
+    """One jitted lax.scan of the production serving loop from an existing
+    ServeState: per frame, serving.serve_map_frame runs the incremental
+    world gates (+ plan-cache rebuild only on level >= 2), then
+    steps_per_frame plan-cached control ticks. Returns (ServeState, metrics)
+    with metrics["inc_level"] = [F] reuse levels. This is the scan body
+    shared by replay_episode_incremental_cached (which prepends serve_init)
+    and benchmarks/bench_steady.py (which times the steady-state loop alone).
+
+    Single-instance only (inherits perceive_update's lax.cond structure —
+    do NOT vmap; the module docstring's vmapped-cond rule)."""
+    from . import serving
+    from .plan import plancache
+
+    def frame_body(sv, pc_f):
+        sv, level = serving.serve_map_frame(sv, pc_f, poly, params,
+                                            exclusions, s,
+                                            ror_method=ror_method)
+
+        def tick(st, _):
+            return plancache.step_cached(st, sv.lite, sv.cache, params, s)
+
+        st, metrics = jax.lax.scan(tick, sv.st, None,
+                                   length=steps_per_frame)
+        metrics["inc_level"] = level
+        return serving.ServeState(inc=sv.inc, cache=sv.cache, st=st,
+                                  lite=sv.lite), metrics
+
+    return jax.lax.scan(frame_body, sv, pc_frames)
+
+
 def replay_episode_incremental_cached(
     pc_frames: PointCloud,
     poly: Polygon,
@@ -443,25 +484,10 @@ def replay_episode_incremental_cached(
     Single-instance only (inherits perceive_update's lax.cond structure —
     do NOT vmap; the module docstring's vmapped-cond rule)."""
     from . import serving
-    from .plan import plancache
 
     sv0 = serving.serve_init(
         jax.tree_util.tree_map(lambda x: x[0], pc_frames), poly, params,
         exclusions, s, ror_method=ror_method)
-
-    def frame_body(sv, pc_f):
-        sv, level = serving.serve_map_frame(sv, pc_f, poly, params,
-                                            exclusions, s,
-                                            ror_method=ror_method)
-
-        def tick(st, _):
-            return plancache.step_cached(st, sv.lite, sv.cache, params, s)
-
-        st, metrics = jax.lax.scan(tick, sv.st, None,
-                                   length=steps_per_frame)
-        metrics["inc_level"] = level
-        return serving.ServeState(inc=sv.inc, cache=sv.cache, st=st,
-                                  lite=sv.lite), metrics
-
-    sv, metrics = jax.lax.scan(frame_body, sv0, pc_frames)
+    sv, metrics = serve_frames(sv0, pc_frames, poly, params, exclusions, s,
+                               steps_per_frame, ror_method=ror_method)
     return (sv.st, metrics, sv.inc) if return_inc else (sv.st, metrics)

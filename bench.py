@@ -231,12 +231,19 @@ def main():
         }
     # Monte-Carlo throughput (BASELINE config 5): sustained lane-refill
     # artifacts pre-measured by benchmarks/bench_sustained.py on this chip
-    for fname, out_key in (
-        ("SUSTAINED.json", "mc_sustained_rollouts_per_sec_per_chip"),
-        ("SUSTAINED_CACHED.json", "mc_sustained_plan_cached_rollouts_per_sec_per_chip"),
+    for fnames, out_key in (
+        (["SUSTAINED.json"], "mc_sustained_rollouts_per_sec_per_chip"),
+        # the cached path scales UP with lanes (ROUND3.md post-fix
+        # artifacts), so report the best completion-gated lane count
+        (["SUSTAINED_CACHED.json", "SUSTAINED_CACHED_256.json",
+          "SUSTAINED_CACHED_512.json", "SUSTAINED_CACHED_1024.json"],
+         "mc_sustained_plan_cached_rollouts_per_sec_per_chip"),
     ):
-        p = os.path.join(bdir, fname)
-        if os.path.exists(p):
+        best, worst_rate = None, None
+        for fname in fnames:
+            p = os.path.join(bdir, fname)
+            if not os.path.exists(p):
+                continue
             with open(p) as f:
                 art = json.load(f)
             # a throughput headline is only meaningful if the rollouts
@@ -246,15 +253,30 @@ def main():
             # can never masquerade as a result again.
             rate = art["completed"] / max(art["total_rollouts"], 1)
             if rate >= 0.95:
-                result[out_key] = art["rollouts_per_sec_per_chip"]
+                v = art["rollouts_per_sec_per_chip"]
+                if best is None or v > best:
+                    best = v
             else:
-                result[out_key + "_INVALID_completion_rate"] = round(rate, 3)
+                worst_rate = rate if worst_rate is None else min(worst_rate, rate)
+        if best is not None:
+            result[out_key] = best
+        elif worst_rate is not None:
+            result[out_key + "_INVALID_completion_rate"] = round(worst_rate, 3)
     # steady-state closed-loop tick (plan cache; bench_cached_step.py)
     p = os.path.join(bdir, "CACHED_STEP.json")
     if os.path.exists(p):
         with open(p) as f:
             result["cached_closed_loop_tick_device_us"] = \
                 json.load(f)["per_tick_device_us"]
+    # composed steady-state serving loop at the reference's own cadence
+    # (1 Hz map / 10 Hz control): measured, not derived (bench_steady.py)
+    p = os.path.join(bdir, "STEADY.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            art = json.load(f)
+        if art.get("levels_all_zero"):
+            result["steady_serving_amortized_tick_device_ms"] = \
+                art["amortized_ms_per_tick"]
     print(json.dumps(result))
 
 
