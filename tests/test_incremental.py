@@ -342,6 +342,40 @@ def test_replay_incremental_cached_matches_incremental(setup):
     assert (lv_c >= incremental.LEVEL_DOWNSTREAM).any()
 
 
+def test_serve_frames_split_matches_single_scan(setup):
+    """incremental.serve_frames invoked in two chunks (a survey served
+    across a checkpoint boundary, or the steady-state bench's standalone
+    loop, benchmarks/bench_steady.py) is bit-identical to one scan over all
+    frames: ALL serving state must live in ServeState, none in closure."""
+    from aosx import serving
+
+    bufs, valids, poly_j, params, excl = setup
+    frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
+    tm = jax.tree_util.tree_map
+
+    sv0 = jax.jit(
+        lambda pc: serving.serve_init(pc, poly_j, params, excl, S,
+                                      ror_method="exact"),
+    )(tm(lambda x: x[0], frames))
+
+    def run(sv, fr):
+        return incremental.serve_frames(sv, fr, poly_j, params, excl, S,
+                                        steps_per_frame=300,
+                                        ror_method="exact")
+
+    sv_all, m_all = jax.jit(run)(sv0, frames)
+    sv_a, m_a = jax.jit(run)(sv0, tm(lambda x: x[:2], frames))
+    sv_b, m_b = jax.jit(run)(sv_a, tm(lambda x: x[2:], frames))
+
+    _assert_world_equal(sv_all.st, sv_b.st)
+    _assert_world_equal(sv_all.cache, sv_b.cache)
+    _assert_world_equal(sv_all.lite, sv_b.lite)
+    assert set(m_all) == set(m_a) == set(m_b)
+    for k in m_all:
+        joined = np.concatenate([np.asarray(m_a[k]), np.asarray(m_b[k])])
+        assert np.array_equal(np.asarray(m_all[k]), joined), k
+
+
 def test_incremental_fuzz_parity():
     """Randomized differential fuzz: random orchard shapes, random growing
     frame schedules, and an injected contract violation — every update must
