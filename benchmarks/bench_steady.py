@@ -64,7 +64,12 @@ def main():
     frames = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (FRAMES,) + x.shape), pc)
 
-    steady = jax.jit(lambda sv, fr: incremental.serve_frames(
+    # host_jit, NOT jax.jit: the steady callable closes over poly/params/excl
+    # (runtime jaxpr consts) and serve_map_frame has top-level lax.cond — the
+    # jax 0.9.0 C++ fast path drops the const buffers on every call after the
+    # first (serving.host_jit docstring; on axon it surfaced as
+    # INVALID_ARGUMENT from the backend on the 2nd call, 2026-08-19)
+    steady = serving.host_jit(lambda sv, fr: incremental.serve_frames(
         sv, fr, poly, params, excl, S, TICKS_PER_FRAME,
         ror_method="sorted"))
 

@@ -9,8 +9,11 @@ vmapped while_loops. Refill converts dead lanes into throughput and gives
 100% completion accounting: every started rollout is recorded exactly once
 (completed or budget-exhausted).
 
-Run: python benchmarks/bench_sustained.py [total] [batch] [steps] [chunk] [refill] [outfile] [cached]
+Run: python benchmarks/bench_sustained.py [total] [batch] [steps] [chunk] [refill] [outfile] [cached] [realism]
   cached: 'cached' -> plan-cached steady state (plan/plancache.py)
+  realism: 'realism' -> curved rows (0.8 m bow) + 15% tree dropout
+           (aosx/orchards.py knobs; tests/test_orchards.py) — harder worlds,
+           honest completion accounting shows the planner's robustness
 Writes the JSON line to stdout AND benchmarks/SUSTAINED.json.
 """
 
@@ -59,6 +62,9 @@ def main():
     refill = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     outfile = sys.argv[6] if len(sys.argv) > 6 else "SUSTAINED.json"
     cached = len(sys.argv) > 7 and sys.argv[7] == "cached"
+    realism = len(sys.argv) > 8 and sys.argv[8] == "realism"
+    if realism:
+        spec = dataclasses.replace(spec, row_curve=0.8, dropout=0.15)
     params = params_as_f32(AosParams())
 
     last = [0.0]
@@ -82,6 +88,8 @@ def main():
     result = {
         "metric": "mc_sustained_rollouts_per_sec_per_chip",
         "plan_cached": cached,
+        "realism": ({"row_curve": spec.row_curve, "dropout": spec.dropout}
+                    if realism else None),
         "grid": [S.grid_h, S.grid_w],
         "total_rollouts": total,
         "lanes": batch,
