@@ -107,7 +107,19 @@ def host_jit(fn):
     return _host_jit_ref(fn) if "axon" in pv else _host_jit_callback(fn)
 
 
-def _host_jit_ref(fn):
+def host_jit_donated(fn, donate_argnums):
+    """host_jit + jit(donate_argnums=...): input→output buffer aliasing for
+    host-loop carries (the serving ServeState / IncrementalState), on top of
+    the same fast-path veto. Donation indices refer to fn's own positional
+    args (the veto wrapper adds no leading args). The caller must thread the
+    returned carry — the donated input buffer is consumed."""
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    pv = getattr(getattr(dev, "client", None), "platform_version", "") or ""
+    mk = _host_jit_ref if "axon" in pv else _host_jit_callback
+    return mk(fn, donate_argnums=donate_argnums)
+
+
+def _host_jit_ref(fn, donate_argnums=()):
     """Fast-path veto via a ref-state effect (axon route; host_jit docstring).
     Single-device only: the sentinel commits to the default device."""
     sent = jax.new_ref(jnp.zeros((), jnp.int32))
@@ -116,17 +128,17 @@ def _host_jit_ref(fn):
         sent[...] = sent[...] + 1
         return fn(*args, **kwargs)
 
-    return jax.jit(wrapped)
+    return jax.jit(wrapped, donate_argnums=donate_argnums)
 
 
-def _host_jit_callback(fn):
+def _host_jit_callback(fn, donate_argnums=()):
     """Fast-path veto via a no-op host callback (host_jit docstring)."""
 
     def wrapped(*args, **kwargs):
         jax.debug.callback(_noop)
         return fn(*args, **kwargs)
 
-    return jax.jit(wrapped)
+    return jax.jit(wrapped, donate_argnums=donate_argnums)
 
 
 def _canon(tree):

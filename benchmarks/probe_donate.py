@@ -47,11 +47,17 @@ def main():
     params = params_as_f32(AosParams())
     excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
 
+    # host-loop repeat calls of perceive_update hit the jax 0.9.0 C++
+    # fast-path const-drop bug (closed-over poly/params/excl are runtime
+    # jaxpr consts; on axon it surfaces as INVALID_ARGUMENT on the 2nd+
+    # call — CLAUDE.md) — route through serving.host_jit, like the benches
+    from aosx import serving
+
     init = jax.jit(lambda p: incremental.perceive_init(
         p, poly, params, excl, S, ror_method="sorted"))
-    upd = jax.jit(lambda st, p: incremental.perceive_update(
+    upd = serving.host_jit(lambda st, p: incremental.perceive_update(
         st, p, poly, params, excl, S, ror_method="sorted"))
-    upd_d = jax.jit(
+    upd_d = serving.host_jit_donated(
         lambda st, p: incremental.perceive_update(
             st, p, poly, params, excl, S, ror_method="sorted"),
         donate_argnums=(0,))
