@@ -39,7 +39,7 @@ def main():
 
     from aosx.config import TEST_STATICS, AosParams, params_as_f32
     from aosx.orchards import OrchardSpec
-    from aosx.parallel.batch import batched_rollouts, sustained_rollouts
+    from aosx.parallel.batch import sustained_rollouts
 
     # EXACTLY bench_sustained.py's MC config
     S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
@@ -61,13 +61,18 @@ def main():
         for k, v in res.items() if k != "completed"
     }
 
-    # rerun only those keys at 4x budget, plain vmap (no refill machinery)
+    # rerun only those keys at 4x budget. NOT one plain-vmap device call:
+    # 13 lanes x 4800 steps runs minutes on-device and the axon tunnel
+    # kills calls > ~60 s (CLAUDE.md) — the first version of this probe
+    # hung exactly there. The chunked sustained harness keeps every call
+    # at chunk_steps ticks; with total == batch == len(bad) no refill
+    # machinery engages and each record equals the fixed-budget
+    # rollout_one result (pinned in test_parallel.py).
     keys = jax.random.split(jax.random.PRNGKey(0), total)[bad]
-    out4 = jax.tree_util.tree_map(
-        np.asarray,
-        batched_rollouts(keys, spec, params, S, 4 * budget,
-                         ror_method="sorted"),
-    )
+    res4, _ = sustained_rollouts(
+        len(bad), len(bad), spec, params, S, 4 * budget, chunk_steps=150,
+        refill=1, ror_method="sorted", cached=True, keys=keys)
+    out4 = {k: np.asarray(v) for k, v in res4.items()}
     result = {
         "metric": "budget_exhausted_diagnosis",
         "budget": budget,

@@ -26,5 +26,6 @@ until timeout 180 python benchmarks/probe_liveness.py; do
 done
 
 run python benchmarks/probe_donate.py
+run python benchmarks/probe_exhausted.py
 echo "=== $(date -u +%H:%M:%S) QUEUE14 COMPLETE"
 touch /tmp/TPU_QUEUE14_DONE
