@@ -179,6 +179,19 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     new_yaw = jnp.where(
         mod == 3, robot.yaw, robot.yaw + jnp.clip(dyaw, -yaw_rate, yaw_rate)
     )
+    # Keep the published yaw wrapped to (-pi, pi], like the quaternion-derived
+    # odometry yaw the reference consumes (aos_state_machine_node.cpp:83-141
+    # reads tf2-converted yaw, always single-wrap). Without this invariant the
+    # accumulated yaw can drift past +-2pi and control's single-wrap
+    # normalized_angle (faithful to cpp:196-204) reports |diff| = 2pi for a
+    # robot facing EXACTLY at goal_yaw - the stop transition then never fires
+    # and docking deadlocks forever (the 13/4096 budget-exhausted Monte-Carlo
+    # lanes in benchmarks/EXHAUSTED.json, diagnosed by probe_ctrl_trace.py:
+    # yaw=11.095 == goal_yaw + 4pi, ydiff pinned at 6.283). dyaw is clipped to
+    # +-yaw_rate < pi per tick, so one conditional wrap maintains the
+    # invariant and is a bitwise no-op whenever yaw is already in range.
+    new_yaw = jnp.where(new_yaw > jnp.pi, new_yaw - 2 * jnp.pi, new_yaw)
+    new_yaw = jnp.where(new_yaw < -jnp.pi, new_yaw + 2 * jnp.pi, new_yaw)
     return Robot(xy=new_xy, yaw=new_yaw)
 
 

@@ -53,7 +53,21 @@ def active_bounds(poly: Polygon, clip_xy, margin):
 
 
 def normalized_angle(a):
-    """aos_state_machine_node.cpp:196-204 (single-wrap, like the reference)."""
+    """aos_state_machine_node.cpp:196-204 (single-wrap, like the reference).
+
+    Only correct when |a| < 4*pi - i.e. when a is a DIFFERENCE of two
+    angles that each satisfy the quaternion-yaw invariant (-pi, pi]. Use
+    wrap_angle at any boundary where that invariant is not guaranteed."""
     a = jnp.where(a > jnp.pi, a - 2 * jnp.pi, a)
     a = jnp.where(a < -jnp.pi, a + 2 * jnp.pi, a)
     return a
+
+
+def wrap_angle(a):
+    """Full wrap to [-pi, pi] for arbitrarily large inputs. Bitwise no-op
+    for |a| <= pi (round-half-to-even keeps +-pi fixed), so applying it
+    defensively at an API boundary cannot perturb already-wrapped poses.
+    The reference never needs this - its yaws come out of tf2 quaternion
+    conversion, which cannot represent a multi-wrap angle."""
+    two_pi = jnp.float32(2 * jnp.pi)
+    return a - two_pi * jnp.round(a / two_pi)

@@ -240,12 +240,18 @@ def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
     plus xy/yaw echoing the pose it acted on. Decision parity with the
     closed-loop engine fed the same poses: tests/test_serving.py."""
     from .engine import Robot
+    from .geom import wrap_angle
 
     lite = sv.lite  # cached at world changes; the graph stays out of ticks
+    # Wrap the measured yaw to [-pi, pi] (bitwise no-op when already in
+    # range): the reference's yaw arrives via tf2 quaternion conversion and
+    # cannot be multi-wrap, but a caller integrating heading could feed one
+    # here - and control's single-wrap normalized_angle (cpp:196-204) then
+    # deadlocks the docking stop (see engine._move_robot and EXHAUSTED.json).
     st = dataclasses.replace(
         sv.st,
         robot=Robot(xy=jnp.asarray(robot_xy, jnp.float32),
-                    yaw=jnp.asarray(robot_yaw, jnp.float32)),
+                    yaw=wrap_angle(jnp.asarray(robot_yaw, jnp.float32))),
     )
     st, metrics = plancache.step_cached(st, lite, sv.cache, params, s,
                                         external_pose=True)

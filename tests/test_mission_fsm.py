@@ -139,3 +139,58 @@ def test_failed_planning_keeps_last_path(params):
     st, m = step(st, world, params)
     assert int(m["status"]) == 1                     # Failed
     assert int(st.raw_path.count) == straight_count  # last path retained
+
+
+def test_docking_stop_despite_accumulated_yaw(params):
+    """Regression for the 13/4096 deterministic MC docking deadlocks
+    (benchmarks/EXHAUSTED.json, diagnosed by probe_ctrl_trace.py): the
+    unicycle's accumulated yaw drifted past +-2pi, so a robot sitting
+    EXACTLY on its goal pose reported yaw_diff = 2pi through control's
+    single-wrap normalized_angle (faithful to cpp:196-204) and mode 2
+    never reached the stop state that releases the docking freeze.
+    _move_robot now keeps the published yaw in (-pi, pi] (the invariant a
+    quaternion-derived odometry yaw always satisfies); from the recorded
+    stuck pose (yaw = goal_yaw + 4pi) the loop must recover the invariant
+    and reach mode 3 within a few decimation cycles."""
+    from aosx.engine import Robot, _move_robot
+    from aosx.plan.control import control_tick, on_path
+    from aosx.types import ControlState, Path
+
+    goal_yaw = -1.471
+    Q = S.max_plan
+    xy = np.zeros((Q, 2), np.float32)
+    xy[0] = [7.65, 0.95]
+    yaw = np.zeros(Q, np.float32)
+    yaw[0] = goal_yaw
+    plan = Path(xy=jnp.asarray(xy), yaw=jnp.asarray(yaw), count=jnp.int32(1))
+    robot = Robot(xy=jnp.array([7.65, 0.95], jnp.float32),
+                  yaw=jnp.float32(goal_yaw + 4 * np.pi))  # two full wraps
+    ctrl = ControlState.initial()
+    reached_stop = False
+    for _ in range(40):
+        ctrl = on_path(ctrl, plan)
+        ctrl, fired, mod, gxy, gyaw = control_tick(
+            ctrl, robot.xy, robot.yaw, params)
+        if int(mod) == 3:
+            reached_stop = True
+            break
+        robot = _move_robot(robot, mod, plan, gxy, gyaw)
+    assert reached_stop, "docking stop never fired: yaw-wrap deadlock"
+    # invariant: the published yaw is back in (-pi, pi]
+    assert abs(float(robot.yaw)) <= np.pi + 1e-6
+
+
+def test_wrap_angle_properties():
+    """wrap_angle (geom.py): bitwise no-op on [-pi, pi] (so the serving
+    boundary can apply it unconditionally), full normalization for
+    arbitrarily-wrapped inputs (where the reference-faithful single-wrap
+    normalized_angle is wrong by construction)."""
+    from aosx.geom import wrap_angle
+
+    a = jnp.asarray(np.linspace(-np.pi, np.pi, 41), jnp.float32)
+    assert (np.asarray(wrap_angle(a)) == np.asarray(a)).all()
+    big = jnp.float32([11.095, -1.471 + 4 * np.pi, -13.0, 100.0, -4 * np.pi])
+    w = np.asarray(wrap_angle(big))
+    assert (np.abs(w) <= np.pi + 1e-5).all()
+    assert np.allclose(np.sin(w), np.sin(np.asarray(big)), atol=1e-4)
+    assert np.allclose(np.cos(w), np.cos(np.asarray(big)), atol=1e-4)
