@@ -62,6 +62,7 @@ def rollout_summary(final, metrics, s: Statics):
         final_dist_to_origin=jnp.sqrt(jnp.sum(final.robot.xy**2)),
         waypoints=final.wp.count,
         guards=jnp.bitwise_or.reduce(metrics["guards"], axis=0),
+        feasible=jnp.int32(-1),  # one-shot path: not classified
     ), s)
 
 
@@ -122,16 +123,31 @@ def _acc_init(s: Statics, n_steps_total: int):
         has_prev=jnp.bool_(False),
         last_status=jnp.int32(0),
         guards=jnp.int32(0),
+        # tri-state mission-feasibility classification (plancache.
+        # tour_feasibility): -1 not classified, 0 infeasible (stalls under
+        # reference semantics — no survivorship bias in sweep statistics),
+        # 1 feasible. Free on the cached path; opt-in (classify=True) on
+        # the uncached path, where it costs one plan-cache A* sweep per
+        # world build.
+        feasible=jnp.int32(-1),
     )
 
 
 def rollout_begin(key, spec: OrchardSpec, params: AosParams, s: Statics,
-                  n_steps_total: int, ror_method: str = "sorted"):
+                  n_steps_total: int, ror_method: str = "sorted",
+                  classify: bool = False):
     """Build the world + initial state + summary accumulator for one orchard."""
     pc, poly = make_orchard(key, spec, s)
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
     world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
-    return world, engine.initial_state(world, s), _acc_init(s, n_steps_total)
+    acc = _acc_init(s, n_steps_total)
+    if classify:
+        from ..plan import plancache
+
+        cache = plancache.build_plan_cache(world, params, s)
+        feas = plancache.tour_feasibility(cache, world.waypoints, params, s)
+        acc["feasible"] = feas["feasible"].astype(jnp.int32)
+    return world, engine.initial_state(world, s), acc
 
 
 def rollout_chunk(world, st, acc, params, s: Statics, n: int, offset):
@@ -154,6 +170,7 @@ def rollout_chunk(world, st, acc, params, s: Statics, n: int, offset):
             has_prev=jnp.bool_(True),
             last_status=m["status"],
             guards=acc["guards"] | m["guards"],
+            feasible=acc["feasible"],
         )
         return (st, acc), None
 
@@ -172,6 +189,7 @@ def rollout_finish(st, acc, s: Statics):
         final_dist_to_origin=jnp.sqrt(jnp.sum(st.robot.xy**2)),
         waypoints=st.wp.count,
         guards=acc["guards"],
+        feasible=acc["feasible"],
     ), s)
 
 
@@ -196,13 +214,18 @@ def rollout_begin_cached(key, spec: OrchardSpec, params: AosParams, s: Statics,
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
     world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
     cache = plancache.build_plan_cache(world, params, s)
+    acc = _acc_init(s, n_steps_total)
+    # feasibility classification is free here: the cache already holds every
+    # leg's plan, so it's a few reductions over [R, max_plan]
+    feas = plancache.tour_feasibility(cache, world.waypoints, params, s)
+    acc["feasible"] = feas["feasible"].astype(jnp.int32)
     # per-point yaw rows are a serving-export payload; step_cached never
     # reads them, so don't carry [R, max_plan] f32 per MC lane in HBM
     import dataclasses
     cache = dataclasses.replace(cache, plan_yaw=cache.plan_yaw[:, :0])
     lite = plancache.world_lite(world)
     st = plancache.initial_cached_state(world, s)
-    return lite, cache, st, _acc_init(s, n_steps_total)
+    return lite, cache, st, acc
 
 
 def rollout_chunk_cached(lite, cache, st, acc, params, s: Statics, n: int,
@@ -225,6 +248,7 @@ def rollout_chunk_cached(lite, cache, st, acc, params, s: Statics, n: int,
             has_prev=jnp.bool_(True),
             last_status=m["status"],
             guards=acc["guards"] | m["guards"],
+            feasible=acc["feasible"],
         )
         return (st, acc), None
 
@@ -256,7 +280,8 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
                        chunk_steps: int = 150, refill: int | None = None,
                        seed: int = 0, ror_method: str = "sorted",
                        cached: bool = False, on_progress=None,
-                       params_queue: AosParams | None = None, keys=None):
+                       params_queue: AosParams | None = None, keys=None,
+                       classify: bool | None = None):
     """Run `total` full rollouts through `batch` device lanes with refill.
 
     Returns (results, stats): `results` is a dict of np arrays indexed by
@@ -274,9 +299,16 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     lockstep lanes. `params` is ignored when given. `keys` (optional)
     overrides the per-rollout PRNG keys ([total, 2] u32; default
     jax.random.split(PRNGKey(seed), total)) — sweeps pass the SAME seed set
-    per configuration for paired comparisons."""
+    per configuration for paired comparisons.
+
+    `classify`: compute the per-rollout `feasible` field (plancache.
+    tour_feasibility). Default: True when cached (free — the cache is
+    already built), False when uncached (costs a plan-cache A* sweep per
+    begin; pass True for honest accounting on hard worlds)."""
     import time
 
+    if classify is None:
+        classify = cached
     refill = refill or max(1, min(batch // 2, 64))
     assert total >= batch, (total, batch)
     # every queued key must eventually start: refill groups are fixed-size
@@ -304,7 +336,7 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     else:
         def _begin_one(k, p):
             return rollout_begin(k, spec, p, s, steps_budget,
-                                 ror_method=ror_method)
+                                 ror_method=ror_method, classify=classify)
 
         def _chunk_one(w, st, acc, off, p):
             return rollout_chunk(w, st, acc, p, s, chunk_steps, off)

@@ -248,6 +248,69 @@ def _row_payload(raw: Path, plan: Path, success) -> dict:
                 nonfinite=nf)
 
 
+def tour_feasibility(cache: PlanCache, wp, params: AosParams, s: Statics):
+    """Static mission-completion feasibility of this world, from its plan
+    cache. Mission advance has exactly ONE route (reference semantics,
+    aos_path_gen_node.cpp:280-343 + :248-256): the robot must come within
+    ``docking_radius`` of the target waypoint (docking freeze) and then
+    reach control mode 3 — there is no skip, timeout, or alternate path
+    (the /aos/next_waypoint service is a manual escape hatch). The stand-in
+    follower tracks the linearized /plan and converges exactly on its last
+    point, so a leg is completable iff
+      - its plan exists (``cache.success``), and
+      - some linearized plan point lies within docking_radius of the target
+        waypoint (the robot passes through / converges on those points).
+    Completion additionally needs the initial straight leg to end within
+    ``initial_arrive_dist`` of the initial waypoint (trim can cut it) and a
+    nonempty tour. ``exploration_completed`` is set at the advance FROM the
+    last tour waypoint (mission_tick ``completing``), so the origin-return
+    legs (rows W+1/W+2) affect only the final status / distance-to-origin,
+    reported separately as ``returnable``.
+
+    A world that fails this predicate stalls under the REFERENCE's own
+    semantics too (it would sit republishing the last path until an operator
+    calls the service) — recording it as ``infeasible`` instead of
+    ``budget_exhausted`` removes survivorship bias from Monte-Carlo sweep
+    statistics (VERDICT r3 next-round #1b). Validated empirically against
+    full episodes in benchmarks/probe_realism_diag.py.
+
+    Returns a dict of scalars: feasible (bool), row0_ok (bool),
+    first_bad_leg (i32 cache-row index, num_rows(s) if none), bad_legs
+    (i32), returnable (bool)."""
+    W = s.max_waypoints
+    R = num_rows(s)
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    wp2 = _append_origin(wp, params)
+    origin_tgt = wp2.xy[jnp.clip(wp2.count - 1, 0, wp2.xy.shape[0] - 1)]
+    tgt = wp.xy[jnp.clip(rows - 1, 0, wp.xy.shape[0] - 1)]      # [R,2]
+    is_origin_row = (rows == W + 1) | (rows == W + 2)
+    tgt = jnp.where(is_origin_row[:, None], origin_tgt[None, :], tgt)
+
+    d = jnp.sqrt(jnp.sum((cache.plan_xy - tgt[:, None, :]) ** 2, axis=-1))
+    valid = jnp.arange(cache.plan_xy.shape[1])[None, :] < cache.plan_count[:, None]
+    mind = jnp.min(jnp.where(valid, d, jnp.float32(3.4e38)), axis=1)
+    dockable = cache.success & (cache.plan_count > 0) & (
+        mind <= params.docking_radius)
+
+    live = (rows >= 1) & (rows <= wp.count)      # mid-tour legs: targets 0..count-1
+    legs_ok = jnp.where(live, dockable, True)
+    init_wp = jnp.stack([params.initial_waypoint_x, params.initial_waypoint_y])
+    row0_ok = jnp.sqrt(jnp.sum((cache.goal_xy[0] - init_wp) ** 2)) \
+        <= params.initial_arrive_dist
+    feasible = row0_ok & jnp.all(legs_ok) & (wp.count > 0)
+    first_bad = jnp.min(jnp.where(legs_ok, R, rows)).astype(jnp.int32)
+    first_bad = jnp.where(row0_ok, first_bad, jnp.int32(0))
+    return dict(
+        feasible=feasible,
+        row0_ok=row0_ok,
+        first_bad_leg=first_bad,
+        bad_legs=jnp.sum((~legs_ok).astype(jnp.int32))
+        + (~row0_ok).astype(jnp.int32),
+        returnable=dockable[W + 1],
+    )
+
+
 def add_carry_row(cache: PlanCache, s: Statics) -> PlanCache:
     """Append one CARRY row (index num_rows(s)) for dynamic-map replays.
 

@@ -85,6 +85,21 @@ def main():
     done = int(res["completed"].sum())
     flagged = int((res["guards"] != 0).sum())
     rps = stats["rollouts_per_sec"]
+    # classification (VERDICT r3 #1): every non-completed lane is either
+    # capacity-invalidated (guard bits; fast-mode invalidation), infeasible
+    # (plancache.tour_feasibility — stalls under reference semantics), or a
+    # residual exhaustion (slow or a planner trap — should be ~0)
+    comp = res["completed"].astype(bool)
+    gflag = res["guards"] != 0
+    feas = res.get("feasible")
+    classified = feas is not None and (feas >= 0).all()
+    if classified:
+        infeasible = (~comp) & (~gflag) & (feas == 0)
+        residual = (~comp) & (~gflag) & (feas == 1)
+    else:
+        infeasible = np.zeros_like(comp)
+        residual = (~comp) & (~gflag)
+    residual_ids = np.nonzero(residual)[0][:64]
     result = {
         "metric": "mc_sustained_rollouts_per_sec_per_chip",
         "plan_cached": cached,
@@ -99,6 +114,11 @@ def main():
         "completed": done,
         "budget_exhausted": total - done,
         "guard_flagged_lanes": flagged,
+        "feasibility_classified": bool(classified),
+        "capacity_invalidated": int(((~comp) & gflag).sum()),
+        "infeasible_worlds": int(infeasible.sum()),
+        "budget_exhausted_residual": int(residual.sum()),
+        "residual_ids": [int(i) for i in residual_ids],
         "elapsed_s": round(stats["elapsed_s"], 1),
         "wall_incl_compile_s": round(wall, 1),
         "chunk_calls": stats["chunk_calls"],

@@ -121,7 +121,8 @@ def test_cached_chunked_rollout_matches_plain(world):
     keys = jax.random.split(jax.random.PRNGKey(3), 2)
 
     begin = jax.jit(jax.vmap(
-        lambda k: rollout_begin(k, spec, params, DS, n_steps, ror_method="exact")
+        lambda k: rollout_begin(k, spec, params, DS, n_steps,
+                                ror_method="exact", classify=True)
     ))
     chunk = jax.jit(jax.vmap(
         lambda w, st, acc, off: rollout_chunk(w, st, acc, params, DS, 20, off),
@@ -161,12 +162,17 @@ def test_sustained_rollouts_cached_matches_plain(world):
         trunk_pts=10, noise_pts=16, origin=(2.0, 2.0), polygon_pad=1.0,
     )
     params = params_as_f32(AosParams())
-    kw = dict(chunk_steps=20, refill=2, seed=7, ror_method="exact")
+    # classify=True on the uncached run too: the records must match
+    # field-for-field INCLUDING the feasibility classification (the
+    # uncached classifier builds the same plan cache the cached path uses)
+    kw = dict(chunk_steps=20, refill=2, seed=7, ror_method="exact",
+              classify=True)
     ref, _ = sustained_rollouts(8, 4, spec, params, DS, 60, **kw)
     got, _ = sustained_rollouts(8, 4, spec, params, DS, 60, cached=True, **kw)
     assert set(ref) == set(got)
     for k in ref:
         assert np.array_equal(_bits(ref[k]), _bits(got[k])), k
+    assert (np.asarray(ref["feasible"]) >= 0).all()
 
 
 def test_cache_row_index_covers_lifecycle(world):
@@ -255,3 +261,59 @@ def test_pin_live_row_covers_restored_target(world):
     assert any(
         not np.array_equal(_bits(m_ref[k]), _bits(m_bad[k])) for k in m_ref
     ), "fixture failed to exercise the prev_wp mismatch"
+
+
+def test_tour_feasibility_predicts_completion(world):
+    """plancache.tour_feasibility (VERDICT r3 #1b): the static predicate
+    must (a) pass on the healthy fixture whose episode is pinned to
+    complete, and (b) when a mid-tour leg is broken — no plan, or a plan
+    that never enters the docking ring — flip to infeasible AND the cached
+    episode on the doctored cache must in fact stall at that leg: mission
+    advance has no route other than docking freeze + mode 3
+    (aos_path_gen_node.cpp:248-256,280-343)."""
+    import dataclasses
+
+    w, params = world
+    cache = jax.jit(lambda w, p: plancache.build_plan_cache(w, p, S))(w, params)
+    feas = jax.jit(
+        lambda c: plancache.tour_feasibility(c, w.waypoints, params, S)
+    )(cache)
+    assert bool(feas["feasible"])
+    assert bool(feas["row0_ok"])
+    assert bool(feas["returnable"])
+    assert int(feas["bad_legs"]) == 0
+    assert int(feas["first_bad_leg"]) == plancache.num_rows(S)
+
+    # break leg target=2 (cache row 3) two ways
+    no_plan = dataclasses.replace(cache, success=cache.success.at[3].set(False))
+    # keep success but truncate the plan to its start point: the follower
+    # then parks at the previous waypoint, outside the docking ring
+    short = dataclasses.replace(cache, plan_count=cache.plan_count.at[3].set(1))
+    jfeas = jax.jit(
+        lambda c: plancache.tour_feasibility(c, w.waypoints, params, S)
+    )
+    for bad in (no_plan, short):
+        fb = jfeas(bad)
+        assert not bool(fb["feasible"])
+        assert int(fb["first_bad_leg"]) == 3
+        assert int(fb["bad_legs"]) == 1
+
+    # behavioral confirmation: the doctored episodes stall at target 2
+    lite = plancache.world_lite(w)
+    st0 = plancache.initial_cached_state(w, S)
+
+    @jax.jit
+    def run(st, cache):
+        def tick(st, _):
+            st, m = plancache.step_cached(st, lite, cache, params, S)
+            return st, None
+
+        final, _ = jax.lax.scan(tick, st, None, length=2500)
+        return final
+
+    # sanity: the undoctored cache completes within the same budget
+    assert bool(np.asarray(run(st0, cache).mission.exploration_completed))
+    for bad in (no_plan, short):
+        final = run(st0, bad)
+        assert not bool(np.asarray(final.mission.exploration_completed))
+        assert int(np.asarray(final.mission.target_wp)) == 2
