@@ -187,12 +187,14 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     # robot facing EXACTLY at goal_yaw - the stop transition then never fires
     # and docking deadlocks forever (the 13/4096 budget-exhausted Monte-Carlo
     # lanes in benchmarks/EXHAUSTED.json, diagnosed by probe_ctrl_trace.py:
-    # yaw=11.095 == goal_yaw + 4pi, ydiff pinned at 6.283). dyaw is clipped to
-    # +-yaw_rate < pi per tick, so one conditional wrap maintains the
-    # invariant and is a bitwise no-op whenever yaw is already in range.
-    new_yaw = jnp.where(new_yaw > jnp.pi, new_yaw - 2 * jnp.pi, new_yaw)
-    new_yaw = jnp.where(new_yaw < -jnp.pi, new_yaw + 2 * jnp.pi, new_yaw)
-    return Robot(xy=new_xy, yaw=new_yaw)
+    # yaw=11.095 == goal_yaw + 4pi, ydiff pinned at 6.283; fixed in dbfc325).
+    # geom.wrap_angle handles ANY magnitude - yaw_rate is caller-overridable,
+    # so a >= pi override must not silently re-open the deadlock - and is
+    # bitwise identical to a single conditional wrap on |yaw| < 3*pi inputs,
+    # which every default-rate trajectory satisfies (ADVICE r3).
+    from .geom import wrap_angle
+
+    return Robot(xy=new_xy, yaw=wrap_angle(new_yaw))
 
 
 def step(state: EngineState, world: World, params: AosParams, s: Statics,

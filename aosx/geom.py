@@ -55,9 +55,11 @@ def active_bounds(poly: Polygon, clip_xy, margin):
 def normalized_angle(a):
     """aos_state_machine_node.cpp:196-204 (single-wrap, like the reference).
 
-    Only correct when |a| < 4*pi - i.e. when a is a DIFFERENCE of two
-    angles that each satisfy the quaternion-yaw invariant (-pi, pi]. Use
-    wrap_angle at any boundary where that invariant is not guaranteed."""
+    A single conditional wrap only normalizes |a| <= 3*pi (a = 3.5*pi would
+    map to 1.5*pi, still out of range). The contract actually relied on is
+    narrower: a must be a DIFFERENCE of two angles that each satisfy the
+    quaternion-yaw invariant (-pi, pi], so |a| < 2*pi. Use wrap_angle at
+    any boundary where that invariant is not guaranteed."""
     a = jnp.where(a > jnp.pi, a - 2 * jnp.pi, a)
     a = jnp.where(a < -jnp.pi, a + 2 * jnp.pi, a)
     return a
