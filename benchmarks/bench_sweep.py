@@ -43,7 +43,8 @@ def main():
     )
 
     smoke = "smoke" in sys.argv[1:]
-    argv = [a for a in sys.argv[1:] if a != "smoke"]
+    realism = "realism" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a not in ("smoke", "realism")]
     if smoke:
         # tiny-scale CPU validation (same shapes as tests/test_sweep.py)
         from aosx.config import DRYRUN_STATICS
@@ -63,6 +64,14 @@ def main():
         )
         defaults = (512, 128, 1200, "SWEEP.json")
         chunk_steps, refill, ror = 150, 64, "sorted"
+    if realism:
+        # curved rows + dropout (bench_sustained realism mode): sweep on the
+        # worlds the framework is FOR (VERDICT r3 #1). Per-rollout
+        # feasibility classification removes survivorship bias: infeasible
+        # worlds are excluded from the per-config denominators below.
+        spec = dataclasses.replace(spec, row_curve=0.8, dropout=0.15)
+        defaults = (defaults[0], defaults[1], defaults[2],
+                    "SWEEP_REALISM.json")
     K = int(argv[0]) if len(argv) > 0 else defaults[0]
     batch = int(argv[1]) if len(argv) > 1 else defaults[1]
     steps = int(argv[2]) if len(argv) > 2 else defaults[2]
@@ -106,9 +115,30 @@ def main():
     wall = time.time() - t0
     table, agg = summarize_sweep(res, P, K)
     rps = stats["rollouts_per_sec"]
+    # feasibility-aware denominators (classification rides the cached path;
+    # plancache.tour_feasibility): report infeasible worlds per config and
+    # the completion rate among feasible ones — the statistic sweeps should
+    # compare, since infeasible worlds stall under reference semantics
+    # regardless of the knob values
+    feas_stats = {}
+    if "feasible" in res and (np.asarray(res["feasible"]) >= 0).all():
+        ftab = np.asarray(res["feasible"]).reshape(P, K)
+        comp_t = table["completed"].astype(bool)
+        infeas = (ftab == 0) & ~comp_t
+        n_feas = K - infeas.sum(axis=1)
+        feas_stats = {
+            "infeasible": infeas.sum(axis=1).tolist(),
+            "completion_rate_feasible": [
+                round(float(c), 4) for c in
+                np.divide(comp_t.sum(axis=1), n_feas,
+                          out=np.zeros(P), where=n_feas > 0)
+            ],
+        }
     result = {
         "metric": "mc_param_sweep_rollouts_per_sec_per_chip",
         "plan_cached": cached,
+        "realism": ({"row_curve": spec.row_curve, "dropout": spec.dropout}
+                    if realism else None),
         "grid": [S.grid_h, S.grid_w],
         "configurations": configs,
         "seeds_per_config": K,
@@ -129,6 +159,7 @@ def main():
             "steps_mean": [None if np.isnan(x) else round(float(x), 1)
                            for x in agg["steps_mean"]],
             "failed": agg["failed"].tolist(),
+            **feas_stats,
         },
     }
     # paired comparison (common random numbers): each non-default config row

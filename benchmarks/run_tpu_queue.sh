@@ -1,33 +1,49 @@
 #!/bin/bash
-# Round-3 TPU bench queue: run once, in order, as soon as the chip answers.
-# Each bench fail-fasts on a dead backend (CLAUDE.md outage protocol), so a
-# mid-queue relapse aborts cleanly instead of hanging.
-# Usage: bash benchmarks/run_tpu_queue.sh >> /tmp/tpu_queue.log 2>&1
+# Parameterized TPU bench queue (VERDICT r3 #8: replaces the 16 one-off
+# run_tpu_queueN.sh scripts). Waits for chip liveness (bounded), then runs
+# the given commands in order, each under a timeout, logging start/stop/rc.
+#
+# Usage:
+#   bash benchmarks/run_tpu_queue.sh CMDFILE [TAG]
+#     CMDFILE: text file, one shell command per line (# comments allowed)
+#     TAG:     label for the log lines / done-marker (default: basename)
+#   or, for ad-hoc single commands:
+#   bash benchmarks/run_tpu_queue.sh -c 'python bench.py' [TAG]
+#
+# Typical: nohup setsid bash benchmarks/run_tpu_queue.sh q.txt r4 \
+#            >> /tmp/tpu_queue_r4.log 2>&1 &
+# Each bench fail-fasts on a dead backend mid-queue (CLAUDE.md outage
+# protocol); the liveness gate only guards the start.
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
+if [ "${1:-}" = "-c" ]; then
+  CMDS=("$2")
+  TAG="${3:-adhoc}"
+else
+  CMDFILE="${1:?usage: run_tpu_queue.sh CMDFILE|-c CMD [TAG]}"
+  TAG="${2:-$(basename "$CMDFILE" .txt)}"
+  mapfile -t CMDS < <(grep -v '^\s*#' "$CMDFILE" | grep -v '^\s*$')
+fi
+
 run() {
-  echo "=== $(date -u +%H:%M:%S) START: $*"
-  timeout 3600 "$@"
-  echo "=== $(date -u +%H:%M:%S) DONE rc=$? : $*"
+  echo "=== $(date -u +%H:%M:%S) [$TAG] START: $*"
+  timeout 3600 bash -c "$*"
+  local rc=$?
+  echo "=== $(date -u +%H:%M:%S) [$TAG] DONE rc=$rc : $*"
 }
 
-# 1. headline fused step, post-harvest (also warms the compile cache for the
-#    driver's own bench.py run; survives a mid-queue chip relapse)
-run python bench.py
-# 2. steady-state closed-loop tick (plan cache) -> CACHED_STEP.json
-run python benchmarks/bench_cached_step.py
-# 3. plan-cached sustained MC throughput -> SUSTAINED_CACHED.json
-run python benchmarks/bench_sustained.py 4096 128 1200 150 64 SUSTAINED_CACHED.json cached
-# 4. production-scale parameter sweep -> SWEEP.json
-run python benchmarks/bench_sweep.py
-# 4b. cached 256-lane scaling point: the uncached path decayed with lanes
-#     (serial per-lane gathers in the big chunk step); cached ticks are row
-#     selects, so the decay may vanish -> measure it
-run python benchmarks/bench_sustained.py 4096 256 1200 150 128 SUSTAINED_CACHED_256.json cached
-# 5. re-emit the headline JSON so it embeds the artifacts measured above
-#    (steps 2-3 write the files bench.py folds in; compile cache is warm)
-run python bench.py
-echo "=== $(date -u +%H:%M:%S) QUEUE COMPLETE"
-touch /tmp/TPU_QUEUE_DONE
+# bounded liveness wait (the queue analogue of bench.py's _wait_chip_alive)
+waited=0
+until timeout 180 python benchmarks/probe_liveness.py; do
+  echo "--- $(date -u +%H:%M:%S) [$TAG] chip dead (${waited}s waited), sleeping 300s"
+  sleep 300
+  waited=$((waited + 300))
+done
+
+for c in "${CMDS[@]}"; do
+  run "$c"
+done
+echo "=== $(date -u +%H:%M:%S) [$TAG] QUEUE COMPLETE"
+touch "/tmp/TPU_QUEUE_${TAG}_DONE"
