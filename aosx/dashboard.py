@@ -95,6 +95,76 @@ def save_map(out_dir: str, world, final_state, rows_sorted=None):
         save_cluster_info(os.path.join(out_dir, "cluster_info"), world.graph, rows_sorted)
 
 
+def _serve_loop(bufs, valids, poly, params, excl, S, steps_per_frame):
+    """Drive the live serving API (aosx/serving.py) over recorded map
+    snapshots, one message at a time — the production host-loop shape from
+    MIGRATION.md, exercised by a CLI surface. The ServeState carry is
+    DONATED on both entry points (serving.host_jit_donated): the input
+    buffers are reused for the output, halving the steady-state footprint
+    of the largest live object (measured benchmarks/PROBE_DONATE.json).
+    The caller-side contract is visible below: the carry is re-threaded
+    from every return and never reused after the call.
+
+    Odometry is simulated host-side with the same unicycle follower the
+    replay engine uses, fed from each tick's published cmd — so the
+    decisions match the --cached replay of the same frames
+    (tests/test_serving.py pins the equivalence for recorded poses).
+    Returns (final CachedEngineState, flat metrics dict, IncrementalState,
+    levels list)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import serving
+    from .engine import Robot, _move_robot
+    from .types import Path, PointCloud
+
+    F = bufs.shape[0]
+
+    def pc_frame(f):
+        return PointCloud(xyz=jnp.asarray(bufs[f]), valid=jnp.asarray(valids[f]))
+
+    init = serving.host_jit(lambda pc: serving.serve_init(
+        pc, poly, params, excl, S, ror_method="exact"))
+    frame = serving.host_jit_donated(
+        lambda sv, pc: serving.serve_map_frame(
+            sv, pc, poly, params, excl, S, ror_method="exact"),
+        donate_argnums=(0,))
+    tick = serving.host_jit_donated(
+        lambda sv, xy, yaw: serving.serve_control_tick(sv, xy, yaw, params, S),
+        donate_argnums=(0,))
+
+    @jax.jit
+    def move(xy, yaw, mod, plan_xy, plan_len, gxy, gyaw):
+        # identical to step_cached's motion: Path with zero yaws (the
+        # follower never reads them) over the published plan
+        r = _move_robot(
+            Robot(xy=xy, yaw=yaw), mod,
+            Path(xy=plan_xy, yaw=jnp.zeros((S.max_plan,), jnp.float32),
+                 count=plan_len),
+            gxy, gyaw)
+        return r.xy, r.yaw
+
+    sv = init(pc_frame(0))
+    xy = np.zeros(2, np.float32)
+    yaw = np.float32(0.0)
+    levels = []
+    rows = []
+    for f in range(F):
+        sv, level = frame(sv, pc_frame(f))
+        levels.append(int(level))
+        for _ in range(steps_per_frame):
+            sv, cmd = tick(sv, xy, yaw)
+            xy, yaw = move(cmd["xy"], cmd["yaw"], cmd["mod"],
+                           cmd["plan_xy"], cmd["plan_len"],
+                           cmd["goal_xy"], cmd["goal_yaw"])
+            xy, yaw = np.asarray(xy), np.asarray(yaw)
+            rows.append({k: np.asarray(cmd[k]) for k in
+                         ("mod", "status", "cluster_idx", "guards")}
+                        | {"xy": xy, "yaw": yaw})
+    metrics = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    return sv.st, metrics, sv.inc, levels
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -125,6 +195,17 @@ def main():
                          "(incremental world gates + per-world plan cache, "
                          "replan-free ticks) — bit-identical metrics to the "
                          "replan-every-tick engine (tests/test_incremental.py)")
+    ap.add_argument("--serve", action="store_true",
+                    help="with --pcd-seq: drive the LIVE host-loop serving "
+                         "API (serving.serve_init/serve_map_frame/"
+                         "serve_control_tick) message-by-message instead of "
+                         "the in-jit replay scan — the production deployment "
+                         "shape (MIGRATION.md), with donated ServeState "
+                         "carries (serving.host_jit_donated: measured "
+                         "~1.5 ms/frame + steady-state HBM halving, "
+                         "benchmarks/PROBE_DONATE.json). Robot odometry is "
+                         "simulated host-side by the same unicycle follower "
+                         "the replay uses")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -163,16 +244,20 @@ def main():
         frames = PointCloud(xyz=jnp.asarray(bufs), valid=jnp.asarray(valids))
         poly = load_polygon()
         steps_per_frame = max(args.steps // F, 1)
-        replay = (incremental.replay_episode_incremental_cached
-                  if args.cached else incremental.replay_episode_incremental)
-        final, metrics, inc = jax.jit(
-            lambda fr, pr: replay(
-                fr, poly, pr, excl, S, steps_per_frame, ror_method="exact",
-                return_inc=True)
-        )(frames, params)
-        levels = [int(v) for v in np.asarray(metrics.pop("inc_level"))]
-        metrics = jax.tree_util.tree_map(
-            lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), metrics)
+        if args.serve:
+            final, metrics, inc, levels = _serve_loop(
+                bufs, valids, poly, params, excl, S, steps_per_frame)
+        else:
+            replay = (incremental.replay_episode_incremental_cached
+                      if args.cached else incremental.replay_episode_incremental)
+            final, metrics, inc = jax.jit(
+                lambda fr, pr: replay(
+                    fr, poly, pr, excl, S, steps_per_frame, ror_method="exact",
+                    return_inc=True)
+            )(frames, params)
+            levels = [int(v) for v in np.asarray(metrics.pop("inc_level"))]
+            metrics = jax.tree_util.tree_map(
+                lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]), metrics)
         # the replay's final IncrementalState already holds the last frame's
         # world — no duplicate from-scratch pass for the figure/saved map
         world, perceive_out = inc.world, inc.out

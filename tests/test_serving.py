@@ -187,3 +187,37 @@ def test_host_jit_mechanisms_force_python_dispatch():
     # host_jit must pick the callback route (identical wrapped behavior)
     h = serving.host_jit(body)
     assert np.array_equal(np.asarray(h(x)), np.full(4, 3.0, np.float32))
+
+
+def test_serving_donated_entry_points(setup):
+    """host_jit_donated on the production entry points (VERDICT r3 #6 /
+    PROBE_DONATE.json): donating the ServeState carry must leave every
+    published cmd and the final state bit-identical to the plain host_jit
+    drive — the caller contract (re-thread the carry from every return,
+    never touch the donated input again) is exactly what _drive does. On
+    CPU donation is a no-op hint; the TPU path reuses the input buffers
+    (the dashboard --serve loop is the production call site)."""
+    bufs, valids, jits, _, metrics = setup
+    _, _, poly = frames_growing([0.55, 0.8, 1.0], S)
+    poly_j = Polygon.from_array(poly.astype(np.float32), S)
+    params = params_as_f32(AosParams())
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    djits = dict(
+        init=jits["init"],
+        frame=serving.host_jit_donated(
+            lambda sv, pc: serving.serve_map_frame(
+                sv, pc, poly_j, params, excl, S),
+            donate_argnums=(0,)),
+        tick=serving.host_jit_donated(
+            lambda sv, xy, yaw: serving.serve_control_tick(
+                sv, xy, yaw, params, S),
+            donate_argnums=(0,)),
+    )
+    sv_d, cmds_d = _drive(bufs, valids, djits, metrics, frames_idx=range(2))
+    sv_p, cmds_p = _drive(bufs, valids, jits, metrics, frames_idx=range(2))
+    assert set(cmds_d) == set(cmds_p)
+    for k in cmds_p:
+        assert _eq(cmds_d[k], cmds_p[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(sv_d),
+                    jax.tree_util.tree_leaves(sv_p)):
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True)
