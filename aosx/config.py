@@ -87,6 +87,25 @@ class Statics:
     # Decisions are exact at any value (the dilation radius scales with C4).
     crossing_coarse_factor: int = 8
 
+    # Sample cap for LONG ridge candidates in the packed edge-crossing
+    # filter (gvd/graph.py two-tier caps: 64 covers edges <= 63*res/2, this
+    # tier the rest). Edges longer than (this-1)*res/2 sample coarser than
+    # the reference and trip GUARD_EDGE_COARSE. 256 (12.75 m at 0.05 res)
+    # suits straight-row fields; curved-row/dropout worlds grow corridor-
+    # spanning ridges past it (CLASSIFY_realism.json: 680/4096 lanes) —
+    # MC_REALISM_STATICS raises it.
+    crossing_nmax_long: int = 256
+    # Slot-buffer cap of the packed crossing pass, in units of max_edges
+    # (cost of the per-slot machinery is proportional to this cap / the
+    # coarse factor). Scale it with crossing_nmax_long so longer samples
+    # don't overflow into the dense fallback.
+    crossing_cap_edges_factor: int = 32
+    # Run/pair buffer size for the run-level union-find CCL
+    # (perceive/rows.run_level_labels). 0 -> max(256, max_skel_cells // 8).
+    # Dropout-fragmented skeletons have more, shorter runs (11/4096 realism
+    # lanes overflowed the default) — MC_REALISM_STATICS raises it.
+    max_ccl_runs: int = 0
+
     # Incremental map update (aosx.incremental): cap on NEW points per frame
     # handled by the O(N*D) delta-ROR cross pass; a larger delta falls back
     # to the exact from-scratch pass inside the same jit.
@@ -183,6 +202,30 @@ DRYRUN_STATICS = Statics(
     max_delta_points=128,
     skeleton_max_iters=32,
     jfa_dynamic_shifts=True,  # dry runs happen on CPU devices
+)
+
+# The Monte-Carlo rollout config (bench_sustained/bench_sweep MC scale):
+# TEST_STATICS shapes with the fast-only vmap contract (no exact-fallback
+# conds) and the TPU JFA lowering. CPU probes flip jfa_dynamic_shifts=True
+# for compile speed (identical results).
+MC_STATICS = dataclasses.replace(
+    TEST_STATICS, jfa_dynamic_shifts=False, exact_fallbacks=False,
+    max_plan=1024)
+
+# Realism-mode MC preset (VERDICT r3 #1a): caps sized from the MEASURED
+# curved-row (0.8 m bow) + 15% dropout guard distribution over all 4096
+# population keys (benchmarks/CLASSIFY_realism.json, real v5e 2026-08-20):
+# 680 lanes tripped GUARD_EDGE_COARSE (corridor-spanning ridge candidates
+# longer than 255*res/2 = 6.375 m) and 11 tripped the CCL run-buffer
+# overflow; no other capacity bit fired. crossing_nmax_long 512 covers
+# ridges to 12.75 m (the orchard diagonal is ~13 m, so nothing valid can
+# exceed it), the crossing slot cap scales to match, and the run buffer
+# doubles.
+MC_REALISM_STATICS = dataclasses.replace(
+    MC_STATICS,
+    crossing_nmax_long=512,
+    crossing_cap_edges_factor=48,
+    max_ccl_runs=512,
 )
 
 # Benchmark config per BASELINE.md: 200x200 m @ 0.1 m -> 2000x2000 cells.

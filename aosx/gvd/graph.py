@@ -356,7 +356,10 @@ def edge_crossing_packed(grid: GridWorld, a, b, nmax, valid, s: Statics,
         return out[:E] > 0
 
     def dense(_):
-        return _edge_crossing_dense(grid, a, b, valid, num, s, 256)
+        # track the long-edge tier so the exact fallback is never coarser
+        # than the fast path it replaces
+        return _edge_crossing_dense(grid, a, b, valid, num, s,
+                                    max(256, s.crossing_nmax_long))
 
     ok_fast = (total <= capp) & (nwin_true <= F)
     if s.exact_fallbacks:
@@ -484,13 +487,17 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     pa = pos[jnp.maximum(edges_a, 0)]
     pb = pos[jnp.maximum(edges_b, 0)]
     # two-tier sample caps: 64 samples suffice for edges <= 63*res/2 (the
-    # vast majority); the rare long edges sample at 256 (coarser than the
-    # reference for edges > 255*res/2 - documented deviation, PARITY.md)
+    # vast majority); the rare long edges sample at s.crossing_nmax_long
+    # (default 256; coarser than the reference for edges beyond
+    # (it-1)*res/2 - documented deviation, PARITY.md, flagged
+    # GUARD_EDGE_COARSE; MC_REALISM_STATICS raises it for the long
+    # corridor-spanning ridges curved/dropout orchards grow)
     T1 = 64
     length = jnp.sqrt(jnp.sum((pb - pa) ** 2, axis=1))
     num = (length / (s.resolution * 0.5)).astype(jnp.int32) + 1
     short = num <= T1 - 1
-    nmax_ridge = jnp.where(short, jnp.int32(T1), jnp.int32(256))
+    nmax_ridge = jnp.where(short, jnp.int32(T1),
+                           jnp.int32(s.crossing_nmax_long))
 
     # ---- proximity edges <= 0.5 m (cpp:861-894) ---------------------------
     # pairwise over nodes; (i < j) lexicographic order like the reference
@@ -540,7 +547,8 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
     # (~750k slots) on top of ~50k short-edge slots
     cross_out = edge_crossing_packed(
         grid, all_a_pts, all_b_pts, nmax_all, valid_all, s,
-        cap=32 * s.max_edges, return_diag=return_diag)
+        cap=s.crossing_cap_edges_factor * s.max_edges,
+        return_diag=return_diag)
     crossing_all, cross_guards = cross_out[0], cross_out[1]
     rvalid = rvalid & ~crossing_all[:E]
     pcross = crossing_all[E:]

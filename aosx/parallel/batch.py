@@ -67,19 +67,24 @@ def rollout_summary(final, metrics, s: Statics):
 
 
 def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: int,
-                ror_method: str = "sorted"):
-    """One procedural orchard: generate -> perceive -> GVD -> closed loop."""
+                ror_method: str = "sorted", v_dt=None):
+    """One procedural orchard: generate -> perceive -> GVD -> closed loop.
+    v_dt: per-tick travel of the stand-in robot (engine.episode default
+    0.12); raising it shortens episodes without changing FSM semantics
+    (the dryrun's completion-capable DP phase uses this)."""
     pc, poly = make_orchard(key, spec, s)
     excl = jnp.zeros((s.max_exclusions, 3), jnp.float32)
     world = engine.prepare_world(pc, poly, params, excl, s, ror_method=ror_method)
-    final, metrics = engine.episode(world, params, s, n_steps)
+    kw = {} if v_dt is None else {"v_dt": jnp.float32(v_dt)}
+    final, metrics = engine.episode(world, params, s, n_steps, **kw)
     return rollout_summary(final, metrics, s)
 
 
-def batched_rollouts(keys, spec, params, s, n_steps, ror_method="sorted"):
+def batched_rollouts(keys, spec, params, s, n_steps, ror_method="sorted",
+                     v_dt=None):
     """vmap over orchards within one device."""
     return jax.vmap(
-        lambda k: rollout_one(k, spec, params, s, n_steps, ror_method)
+        lambda k: rollout_one(k, spec, params, s, n_steps, ror_method, v_dt)
     )(keys)
 
 

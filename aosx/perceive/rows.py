@@ -153,7 +153,9 @@ def run_level_labels(cell_flat, cell_ok, h: int, w: int, s: Statics):
     # every union-find round costs 2 gathers + 2 scatter-mins on [P] and 4
     # compression gathers on [R]; bench uses 3,753 runs / 4,404 pairs of
     # M//8 = 8192, and overflow falls back to the exact cell-level path
-    R = max(256, s.max_skel_cells // 8)   # static run / pair buffer sizes
+    # static run / pair buffer sizes; dropout-fragmented skeletons have
+    # more, shorter runs (MC_REALISM_STATICS raises max_ccl_runs)
+    R = s.max_ccl_runs or max(256, s.max_skel_cells // 8)
     P = R
 
     # run decomposition (compaction preserves raster order, so a run's

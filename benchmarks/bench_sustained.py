@@ -44,13 +44,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     import dataclasses
 
-    from aosx.config import TEST_STATICS, AosParams, params_as_f32
+    from aosx.config import (
+        MC_REALISM_STATICS, MC_STATICS, AosParams, params_as_f32,
+    )
     from aosx.orchards import OrchardSpec
     from aosx.parallel.batch import sustained_rollouts
 
-    # same MC config as bench_rollouts.py 'mc' scale
-    S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
-                            exact_fallbacks=False, max_plan=1024)
     spec = OrchardSpec(
         n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
         trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
@@ -63,6 +62,8 @@ def main():
     outfile = sys.argv[6] if len(sys.argv) > 6 else "SUSTAINED.json"
     cached = len(sys.argv) > 7 and sys.argv[7] == "cached"
     realism = len(sys.argv) > 8 and sys.argv[8] == "realism"
+    # realism worlds use the measured-cap preset (config.py docstring)
+    S = MC_REALISM_STATICS if realism else MC_STATICS
     if realism:
         spec = dataclasses.replace(spec, row_curve=0.8, dropout=0.15)
     params = params_as_f32(AosParams())

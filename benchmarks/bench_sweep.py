@@ -56,8 +56,9 @@ def main():
         defaults = (2, 4, 60, "SWEEP_SMOKE.json")
         chunk_steps, refill, ror = 20, 2, "exact"
     else:
-        S = dataclasses.replace(TEST_STATICS, jfa_dynamic_shifts=False,
-                                exact_fallbacks=False, max_plan=1024)
+        from aosx.config import MC_REALISM_STATICS, MC_STATICS
+
+        S = MC_REALISM_STATICS if realism else MC_STATICS
         spec = OrchardSpec(
             n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
             trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,

@@ -33,7 +33,9 @@ def main():
     import jax.numpy as jnp
 
     from aosx import engine, guards
-    from aosx.config import TEST_STATICS, AosParams, params_as_f32
+    from aosx.config import (
+        MC_REALISM_STATICS, MC_STATICS, AosParams, params_as_f32,
+    )
     from aosx.orchards import OrchardSpec, make_orchard
     from aosx.plan import plancache
 
@@ -41,9 +43,9 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     width = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     on_cpu = jax.default_backend() == "cpu"
-    S = dataclasses.replace(TEST_STATICS,
-                            jfa_dynamic_shifts=on_cpu,
-                            exact_fallbacks=False, max_plan=1024)
+    S = MC_REALISM_STATICS if mode == "realism" else MC_STATICS
+    if on_cpu:
+        S = dataclasses.replace(S, jfa_dynamic_shifts=True)
     spec = OrchardSpec(
         n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
         trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,

@@ -54,6 +54,14 @@ def main():
             max_points=262144,
             max_skel_cells=131072, max_rows=max(32, n_rows),
             max_seeds=8192, max_nodes=16384, max_edges=65536,
+            # 9 m corridors at 0.05 res need 360 samples at res/2 — keep the
+            # long-edge tier above that so the probe measures capacity, not
+            # a flagged-coarse world
+            crossing_nmax_long=512,
+            # the banded Pallas JFA kernel's compile crashed the remote
+            # compile-helper at 4000x4096 (first ceiling run, HTTP 500);
+            # plain XLA JFA measures the same capacity question
+            jfa_pass_pallas=False,
         )
         spec = OrchardSpec(
             n_rows=n_rows, row_len=row_len, row_spacing=9.0,
@@ -63,46 +71,48 @@ def main():
         rec = {"grid": [H, W], "meters": [round(H * 0.05), round(W * 0.05)],
                "rows": n_rows}
         t0 = time.time()
-        try:
-            key = jax.random.PRNGKey(0)
-            pc, poly = make_orchard(key, spec, S)
-            excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+        for attempt in range(2):  # one retry: the tunnel compiler has
+            #                       transient HTTP-500 windows (CLAUDE.md)
+            try:
+                key = jax.random.PRNGKey(0)
+                pc, poly = make_orchard(key, spec, S)
+                excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
 
-            @jax.jit
-            def full(pc, poly, params, excl):
-                world = engine.prepare_world(pc, poly, params, excl, S,
-                                             ror_method="sorted")
-                st0 = engine.initial_state(world, S)
-                st1, m = engine.step(st0, world, params, S)
-                return (m["plan_len"].astype(jnp.float32) + m["mod"],
-                        world.guards, world.graph.num_nodes)
+                @jax.jit
+                def full(pc, poly, params, excl):
+                    world = engine.prepare_world(pc, poly, params, excl, S,
+                                                 ror_method="sorted")
+                    st0 = engine.initial_state(world, S)
+                    st1, m = engine.step(st0, world, params, S)
+                    return (m["plan_len"].astype(jnp.float32) + m["mod"],
+                            world.guards, world.graph.num_nodes)
 
-            out = full(pc, poly, params, excl)
-            probe = float(out[0])  # sync
-            rec["compile_plus_first_call_s"] = round(time.time() - t0, 1)
-            ts = []
-            for _ in range(3):
-                t1 = time.perf_counter()
                 out = full(pc, poly, params, excl)
-                float(out[0])
-                ts.append((time.perf_counter() - t1) * 1e3)
-            rec["step_ms"] = round(float(np.median(ts)), 1)
-            rec["guards"] = guards.describe(int(out[1]))
-            rec["nodes"] = int(out[2])
-            rec["ok"] = True
-            print(f"# {H}x{W}: OK step={rec['step_ms']} ms "
-                  f"nodes={rec['nodes']} guards={rec['guards']}",
-                  file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001 — the failure IS the datum
-            rec["ok"] = False
-            rec["error"] = f"{type(e).__name__}: {str(e)[:400]}"
-            print(f"# {H}x{W}: FAILED {rec['error']}",
-                  file=sys.stderr, flush=True)
-            results.append(rec)
-            break
-        finally:
-            pass
+                float(out[0])  # sync
+                rec["compile_plus_first_call_s"] = round(time.time() - t0, 1)
+                ts = []
+                for _ in range(3):
+                    t1 = time.perf_counter()
+                    out = full(pc, poly, params, excl)
+                    float(out[0])
+                    ts.append((time.perf_counter() - t1) * 1e3)
+                rec["step_ms"] = round(float(np.median(ts)), 1)
+                rec["guards"] = guards.describe(int(out[1]))
+                rec["nodes"] = int(out[2])
+                rec["ok"] = True
+                print(f"# {H}x{W}: OK step={rec['step_ms']} ms "
+                      f"nodes={rec['nodes']} guards={rec['guards']}",
+                      file=sys.stderr, flush=True)
+                break
+            except Exception as e:  # noqa: BLE001 — the failure IS the datum
+                rec["ok"] = False
+                rec["error"] = f"{type(e).__name__}: {str(e)[:400]}"
+                print(f"# {H}x{W}: FAILED (attempt {attempt + 1}) "
+                      f"{rec['error']}", file=sys.stderr, flush=True)
+                time.sleep(60)
         results.append(rec)
+        if not rec["ok"]:
+            break
 
     ceiling = None
     for r in results:

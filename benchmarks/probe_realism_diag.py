@@ -43,7 +43,7 @@ def main():
     import jax.numpy as jnp
 
     from aosx import engine, guards
-    from aosx.config import TEST_STATICS, AosParams, params_as_f32
+    from aosx.config import MC_REALISM_STATICS, AosParams, params_as_f32
     from aosx.orchards import OrchardSpec
     from aosx.parallel.batch import (
         rollout_begin_cached, rollout_chunk_cached, rollout_finish,
@@ -52,9 +52,9 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n = (n // V) * V
-    # the MC realism config (bench_sustained.py realism mode), with the
+    # the MC realism preset (bench_sustained.py realism mode), with the
     # CPU-friendly JFA lowering (identical results, CLAUDE.md)
-    S = dataclasses.replace(TEST_STATICS, exact_fallbacks=False, max_plan=1024)
+    S = dataclasses.replace(MC_REALISM_STATICS, jfa_dynamic_shifts=True)
     spec = OrchardSpec(
         n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
         trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,

@@ -89,3 +89,16 @@ wp = stage("build_waypoints", lambda g, pr: build_waypoints(g, pr, S), g_full, p
 total = sum(ms for _, ms in STAGES)
 print(f"\nsum of staged: {total:.1f} ms ({len(STAGES)} stages x {FLOOR:.1f} ms floor "
       f"-> device ~{total - FLOOR * len(STAGES):.0f} ms); wall {time.time()-t0:.0f}s")
+
+# committed artifact for FLOOR.md's per-stage table (VERDICT r3 #5): the
+# reported ms carry the calibrated floor; device ~ reported - floor
+import json
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "STAGES.json"), "w") as f:
+    json.dump({
+        "metric": "per_stage_reported_ms_2000x2048",
+        "tunnel_floor_ms": round(FLOOR, 2),
+        "stages": {name: round(ms, 2) for name, ms in STAGES},
+        "sum_reported_ms": round(total, 1),
+        "sum_device_est_ms": round(total - FLOOR * len(STAGES), 1),
+    }, f, indent=1)

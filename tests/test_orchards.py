@@ -87,3 +87,38 @@ def test_degraded_orchard_builds_world():
     travel = np.sqrt(((xy[1:] - xy[:-1]) ** 2).sum(1)).sum()
     assert travel > 1.0, travel
     assert int(np.asarray(metrics["nonfinite"]).max()) == 0
+
+
+def test_realism_preset_clears_capacity_flags():
+    """MC_REALISM_STATICS (VERDICT r3 #1a): caps sized from the MEASURED
+    curved-row/dropout guard distribution (benchmarks/CLASSIFY_realism.json:
+    680/4096 GUARD_EDGE_COARSE + 11 CCL run overflows at MC_STATICS). Keys
+    that flag at the default MC caps must build CLEAN (guards == 0) at the
+    realism preset — the preset exists precisely so those 690 lanes stop
+    being invalidated."""
+    from aosx.config import MC_REALISM_STATICS, MC_STATICS
+
+    S0 = dataclasses.replace(MC_STATICS, jfa_dynamic_shifts=True)
+    S1 = dataclasses.replace(MC_REALISM_STATICS, jfa_dynamic_shifts=True)
+    spec = OrchardSpec(
+        n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
+        trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
+        row_curve=0.8, dropout=0.15,
+    )
+    params = params_as_f32(AosParams())
+    keys = jax.random.split(jax.random.PRNGKey(0), 4096)
+
+    def build(statics):
+        excl = jnp.zeros((statics.max_exclusions, 3), jnp.float32)
+        return jax.jit(lambda k: engine.prepare_world(
+            *make_orchard(k, spec, statics), params, excl, statics,
+            ror_method="sorted").guards)
+
+    b0, b1 = build(S0), build(S1)
+    # ids 2 and 7 are flagged_ids[0:2] of CLASSIFY_realism.json
+    for kid in (2, 7):
+        g0 = int(np.asarray(b0(keys[kid])))
+        g1 = int(np.asarray(b1(keys[kid])))
+        assert g0 != 0, f"key {kid} no longer flags at MC_STATICS " \
+            "(population drifted? re-run probe_classify_keys)"
+        assert g1 == 0, f"key {kid} still flags at MC_REALISM_STATICS: {g1}"
