@@ -97,9 +97,13 @@ def main():
     if classified:
         infeasible = (~comp) & (~gflag) & (feas == 0)
         residual = (~comp) & (~gflag) & (feas == 1)
+        # soundness check: a completed lane the predicate called infeasible
+        # would mean tour_feasibility is wrong - surface it loudly
+        violations = int((comp & (feas == 0)).sum())
     else:
         infeasible = np.zeros_like(comp)
         residual = (~comp) & (~gflag)
+        violations = 0
     residual_ids = np.nonzero(residual)[0][:64]
     result = {
         "metric": "mc_sustained_rollouts_per_sec_per_chip",
@@ -120,6 +124,7 @@ def main():
         "infeasible_worlds": int(infeasible.sum()),
         "budget_exhausted_residual": int(residual.sum()),
         "residual_ids": [int(i) for i in residual_ids],
+        "feasibility_predicate_violations": violations,
         "elapsed_s": round(stats["elapsed_s"], 1),
         "wall_incl_compile_s": round(wall, 1),
         "chunk_calls": stats["chunk_calls"],
