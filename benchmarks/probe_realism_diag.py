@@ -103,14 +103,18 @@ def main():
           f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     # ---------------- phase B: empirical validation --------------------------
-    begin = jax.jit(jax.vmap(
+    # host_jit: host-loop callables (serving.host_jit docstring — the
+    # jax 0.9.0 repeat-dispatch const bug hits plain jax.jit here)
+    from aosx.serving import host_jit
+
+    begin = host_jit(jax.vmap(
         lambda k: rollout_begin_cached(k, spec, params, S, BUDGET,
                                        ror_method="sorted")))
-    chunk = jax.jit(jax.vmap(
+    chunk = host_jit(jax.vmap(
         lambda l, c, st, acc, off: rollout_chunk_cached(
             l, c, st, acc, params, S, CHUNK, off),
         in_axes=(0, 0, 0, 0, None)))
-    finish = jax.jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, S)))
+    finish = host_jit(jax.vmap(lambda st, acc: rollout_finish(st, acc, S)))
 
     def episodes(idx, budget):
         """Run full cached episodes for key indices idx; returns (summary

@@ -67,10 +67,16 @@ def main():
     while len(padded) % V:
         padded.append(padded[-1])
 
-    begin = jax.jit(jax.vmap(
+    # host_jit, NOT plain jax.jit: these are host-loop callables, and the
+    # 2nd+ dispatch of a const-carrying executable on axon dies with a bare
+    # "INVALID_ARGUMENT: TPU backend error" (serving.host_jit docstring;
+    # exactly how this probe's first on-chip run failed, 2026-08-20)
+    from aosx.serving import host_jit
+
+    begin = host_jit(jax.vmap(
         lambda k: rollout_begin_cached(k, spec, params, S, budget,
                                        ror_method="sorted")))
-    chunk = jax.jit(jax.vmap(
+    chunk = host_jit(jax.vmap(
         lambda l, c, st, acc, off: rollout_chunk_cached(
             l, c, st, acc, params, S, CHUNK, off),
         in_axes=(0, 0, 0, 0, None)))
