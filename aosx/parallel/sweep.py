@@ -74,7 +74,7 @@ def sweep_rollouts(stacked: AosParams, configs, seeds_per_config: int,
                    batch: int, chunk_steps: int = 150,
                    refill: int | None = None, seed: int = 0,
                    ror_method: str = "sorted", cached: bool = False,
-                   on_progress=None):
+                   on_progress=None, classify: bool | None = None):
     """P configurations x seeds_per_config rollouts, configuration-major,
     through sustained_rollouts' lane-refill harness (params_queue). Every
     configuration runs the same seeds_per_config orchard keys.
@@ -94,7 +94,7 @@ def sweep_rollouts(stacked: AosParams, configs, seeds_per_config: int,
         P * K, batch, spec, None, s, steps_budget,
         chunk_steps=chunk_steps, refill=refill, ror_method=ror_method,
         cached=cached, on_progress=on_progress,
-        params_queue=queue, keys=keys,
+        params_queue=queue, keys=keys, classify=classify,
     )
 
 

@@ -65,9 +65,12 @@ def sweep_inputs():
 @pytest.fixture(scope="module")
 def plain_sweep(sweep_inputs):
     stacked, configs = sweep_inputs
+    # classify=True: the cached-vs-plain comparison includes the feasible
+    # field, which only the cached path computes by default
     res, stats = sweep_rollouts(
         stacked, configs, K, SPEC, S, BUDGET,
-        batch=4, chunk_steps=20, refill=2, seed=5, ror_method="exact")
+        batch=4, chunk_steps=20, refill=2, seed=5, ror_method="exact",
+        classify=True)
     return res, stats
 
 
