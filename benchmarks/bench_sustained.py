@@ -104,7 +104,7 @@ def main():
         infeasible = np.zeros_like(comp)
         residual = (~comp) & (~gflag)
         violations = 0
-    residual_ids = np.nonzero(residual)[0][:64]
+    residual_ids = np.nonzero(residual)[0][:256]
     result = {
         "metric": "mc_sustained_rollouts_per_sec_per_chip",
         "plan_cached": cached,
