@@ -134,19 +134,23 @@ def _serve_loop(bufs, valids, poly, params, excl, S, steps_per_frame):
         donate_argnums=(0,))
 
     @jax.jit
-    def move(xy, yaw, mod, plan_xy, plan_len, gxy, gyaw):
+    def move(xy, yaw, follow, mod, plan_xy, plan_len, gxy, gyaw):
         # identical to step_cached's motion: Path with zero yaws (the
-        # follower never reads them) over the published plan
+        # follower never reads them) over the published plan; `follow` is
+        # the monotone progress index (engine.Robot.follow_i), reset by the
+        # caller whenever the adopted plan changes
         r = _move_robot(
-            Robot(xy=xy, yaw=yaw), mod,
+            Robot(xy=xy, yaw=yaw, follow_i=follow), mod,
             Path(xy=plan_xy, yaw=jnp.zeros((S.max_plan,), jnp.float32),
                  count=plan_len),
             gxy, gyaw)
-        return r.xy, r.yaw
+        return r.xy, r.yaw, r.follow_i
 
     sv = init(pc_frame(0))
     xy = np.zeros(2, np.float32)
     yaw = np.float32(0.0)
+    follow = np.int32(0)
+    last_adopted = None
     levels = []
     rows = []
     for f in range(F):
@@ -154,10 +158,14 @@ def _serve_loop(bufs, valids, poly, params, excl, S, steps_per_frame):
         levels.append(int(level))
         for _ in range(steps_per_frame):
             sv, cmd = tick(sv, xy, yaw)
-            xy, yaw = move(cmd["xy"], cmd["yaw"], cmd["mod"],
-                           cmd["plan_xy"], cmd["plan_len"],
-                           cmd["goal_xy"], cmd["goal_yaw"])
-            xy, yaw = np.asarray(xy), np.asarray(yaw)
+            adopted = int(np.asarray(cmd["adopted"]))
+            if adopted != last_adopted:
+                follow = np.int32(0)
+                last_adopted = adopted
+            xy, yaw, follow = move(cmd["xy"], cmd["yaw"], follow, cmd["mod"],
+                                   cmd["plan_xy"], cmd["plan_len"],
+                                   cmd["goal_xy"], cmd["goal_yaw"])
+            xy, yaw, follow = np.asarray(xy), np.asarray(yaw), np.asarray(follow)
             rows.append({k: np.asarray(cmd[k]) for k in
                          ("mod", "status", "cluster_idx", "guards")}
                         | {"xy": xy, "yaw": yaw})

@@ -63,6 +63,18 @@ class World:
 class Robot:
     xy: Any
     yaw: Any
+    # monotone plan-follow progress: the smallest plan index _move_robot may
+    # snap to. A pure nearest-point follower is CAPTURED for ever by a
+    # self-crossing plan (diagnosed on realism key 942: a 26.8 m plan whose
+    # indices ~20-25 and ~432-437 coincide within 8 cm - the robot reaches
+    # the crossing on its second pass, the global argmin snaps back to the
+    # first pass, and the loop repeats; ~470 m traveled, mission never
+    # completes). Reset to 0 at every plan adoption (engine.step /
+    # plancache.step_cached use_new) - the index only ever advances while
+    # one plan is followed. The reference delegates following to an
+    # external controller, so this is a property of our stand-in, not of
+    # reference semantics.
+    follow_i: Any = dataclasses.field(default_factory=lambda: jnp.int32(0))
 
 
 @_dc
@@ -158,8 +170,18 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     Q = plan.xy.shape[0]
     idx = jnp.arange(Q)
     d = jnp.sqrt(jnp.sum((plan.xy - robot.xy[None, :]) ** 2, axis=1))
-    d = jnp.where(idx < plan.count, d, 3.4e38)
-    ci = jnp.argmin(d)
+    # monotone window (Robot.follow_i docstring): never snap backward past
+    # the carried progress index - identical to the plain nearest-point
+    # search except on self-crossing plans, where the plain search loops.
+    # If the window is empty (the plan was replaced by a SHORTER one
+    # without a config change - dynamic-map rebuild), fall back to the
+    # global search and restart progress there.
+    live_g = idx < plan.count
+    live_w = live_g & (idx >= robot.follow_i)
+    d_w = jnp.where(live_w, d, 3.4e38)
+    d_g = jnp.where(live_g, d, 3.4e38)
+    ci = jnp.where(jnp.any(live_w), jnp.argmin(d_w), jnp.argmin(d_g))
+    follow_i = ci.astype(jnp.int32)
     look = jnp.minimum(ci + 10, jnp.maximum(plan.count - 1, 0))
     follow_tgt = plan.xy[look]
 
@@ -194,7 +216,20 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     # which every default-rate trajectory satisfies (ADVICE r3).
     from .geom import wrap_angle
 
-    return Robot(xy=new_xy, yaw=wrap_angle(new_yaw))
+    return Robot(xy=new_xy, yaw=wrap_angle(new_yaw), follow_i=follow_i)
+
+
+def _mission_config_changed(old: MissionState, new: MissionState):
+    """Did the discrete planning configuration (the plan-cache row key,
+    plan/plancache.py module docstring) change this tick? Used as the
+    follower's progress-reset condition — shared verbatim by step and
+    step_cached so their trajectories stay bit-identical."""
+    return (
+        (new.target_wp != old.target_wp)
+        | (new.prev_wp != old.prev_wp)
+        | (new.origin_appended != old.origin_appended)
+        | (new.initial_reached != old.initial_reached)
+    )
 
 
 def step(state: EngineState, world: World, params: AosParams, s: Statics,
@@ -239,8 +274,18 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
         origin_appended=mission.origin_appended,
     )
 
-    # 3. robot kinematics
-    robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
+    # 3. robot kinematics. The follower's monotone progress index resets
+    # when the DISCRETE mission config changes (a new leg's plan was
+    # adopted) - NOT on use_new alone, which fires every unfrozen tick
+    # under the replan-every-tick contract. The same expression in
+    # step_cached keeps the two engines bit-identical.
+    robot_in = dataclasses.replace(
+        state.robot,
+        follow_i=jnp.where(
+            use_new & _mission_config_changed(state.mission, mission),
+            0, state.robot.follow_i).astype(jnp.int32),
+    )
+    robot = _move_robot(robot_in, mod_pub, plan_path, ctrl.goal_xy,
                         ctrl.goal_yaw, v_dt=v_dt)
 
     new_state = EngineState(

@@ -465,11 +465,22 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
     )
 
     # 3. robot kinematics (reads plan xy + count only); a real robot moves
-    # itself - external_pose keeps the measured pose
+    # itself - external_pose keeps the measured pose. A plan adoption
+    # resets the follower's monotone progress index (engine.Robot.follow_i
+    # docstring) - same reset condition as engine.step, so the episodes
+    # stay bit-identical.
     if external_pose:
         robot = state.robot
     else:
-        robot = _move_robot(state.robot, mod_pub, plan_path, ctrl.goal_xy,
+        from ..engine import _mission_config_changed
+
+        robot_in = dataclasses.replace(
+            state.robot,
+            follow_i=jnp.where(
+                use_new & _mission_config_changed(state.mission, mission),
+                0, state.robot.follow_i).astype(jnp.int32),
+        )
+        robot = _move_robot(robot_in, mod_pub, plan_path, ctrl.goal_xy,
                             ctrl.goal_yaw, v_dt=v_dt)
 
     new_state = CachedEngineState(

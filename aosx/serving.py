@@ -260,6 +260,10 @@ def serve_control_tick(sv: ServeState, robot_xy, robot_yaw,
         goal_xy=st.control.goal_xy,
         goal_yaw=st.control.goal_yaw,
         plan_yaw=plancache.select_row(sv.cache.plan_yaw, st.adopted),
+        # which cache row is published: callers simulating a follower reset
+        # their monotone progress index when this changes (engine.Robot
+        # .follow_i docstring; dashboard._serve_loop)
+        adopted=st.adopted,
     )
     return _canon(ServeState(inc=sv.inc, cache=sv.cache, st=st,
                              lite=sv.lite)), cmd

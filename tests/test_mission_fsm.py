@@ -194,3 +194,48 @@ def test_wrap_angle_properties():
     assert (np.abs(w) <= np.pi + 1e-5).all()
     assert np.allclose(np.sin(w), np.sin(np.asarray(big)), atol=1e-4)
     assert np.allclose(np.cos(w), np.cos(np.asarray(big)), atol=1e-4)
+
+
+def test_follower_escapes_self_crossing_plan():
+    """Regression for the realism key-942 capture (benchmarks/
+    RESIDUAL_SUSTAINED_REALISM.json): a lasso-shaped plan that revisits an
+    early point traps a pure nearest-point follower forever - at the
+    crossing, the global argmin snaps back to the first pass and the loop
+    repeats. Robot.follow_i's monotone window must carry the robot through
+    the crossing to the plan's end."""
+    from aosx.engine import Robot, _move_robot
+    from aosx.types import Path
+
+    # plan: straight east 0..2m, loop up-and-back crossing itself at x=1,
+    # then continue east to (3, 0): indices ~20 and ~56 coincide at (1, 0)
+    import numpy as np
+
+    pts = []
+    for i in range(41):                      # 0 .. 2.0 east (idx 20 = (1,0))
+        pts.append((i * 0.05, 0.0))
+    # loop: north from (2,0) to (2,1), west to (1,1), south THROUGH (1,0)
+    # down to (1,-0.0) continuing east again - crosses idx 20
+    for i in range(1, 21):
+        pts.append((2.0, i * 0.05))
+    for i in range(1, 21):
+        pts.append((2.0 - i * 0.05, 1.0))
+    for i in range(1, 21):
+        pts.append((1.0, 1.0 - i * 0.05))    # ends exactly at (1, 0)
+    for i in range(1, 41):
+        pts.append((1.0 + i * 0.05, 0.0))    # east to (3, 0)
+    Q = S.max_plan
+    n = len(pts)
+    xy = np.zeros((Q, 2), np.float32)
+    xy[:n] = np.asarray(pts, np.float32)
+    plan = Path(xy=jnp.asarray(xy), yaw=jnp.zeros(Q), count=jnp.int32(n))
+    goal = xy[n - 1]
+
+    robot = Robot(xy=jnp.zeros(2, jnp.float32), yaw=jnp.float32(0.0))
+    for _ in range(400):                     # plan length ~5 m, 0.12/tick
+        robot = _move_robot(robot, jnp.int32(0), plan,
+                            jnp.asarray(goal), jnp.float32(0.0))
+    d_end = float(np.hypot(*(np.asarray(robot.xy) - goal)))
+    assert d_end < 0.6, (
+        f"follower never reached the plan end (d={d_end:.2f}) - "
+        "self-crossing capture regressed")
+    assert int(np.asarray(robot.follow_i)) > n - 15
