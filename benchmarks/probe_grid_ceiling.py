@@ -49,11 +49,22 @@ def main():
     params = params_as_f32(AosParams())
     results = []
     for (H, W, n_rows, row_len) in SIZES:
+        # content caps scale with grid AREA so the big entries measure the
+        # chip's capacity, not undersized buffers (first pass: 6000+ tripped
+        # skel/CCL/crossing caps sized for the 2000-scale orchard)
+        area = max(1, (H * W) // (2000 * 2048))
         S = dataclasses.replace(
             BENCH_STATICS, grid_h=H, grid_w=W, resolution=0.05,
-            max_points=262144,
-            max_skel_cells=131072, max_rows=max(32, n_rows),
-            max_seeds=8192, max_nodes=16384, max_edges=65536,
+            max_points=131072 * min(area, 2),
+            max_skel_cells=65536 * area, max_rows=max(32, n_rows + 8),
+            max_seeds_per_row=512,
+            max_seeds=4096 * min(area, 4),
+            # NOTE the dense A* cost matrix is [N, N] f32: 16384 nodes =
+            # 1 GB, the first genuinely memory-shaped cap - don't scale
+            # past it; the probe records the node count so saturation at
+            # the 400 m scale is visible in the artifact
+            max_nodes=8192 * min(area, 2),
+            max_edges=32768 * min(area, 4),
             # 9 m corridors at 0.05 res need 360 samples at res/2 — keep the
             # long-edge tier above that so the probe measures capacity, not
             # a flagged-coarse world

@@ -239,3 +239,31 @@ def test_follower_escapes_self_crossing_plan():
         f"follower never reached the plan end (d={d_end:.2f}) - "
         "self-crossing capture regressed")
     assert int(np.asarray(robot.follow_i)) > n - 15
+
+
+def test_follower_window_fallback_on_shrunk_plan():
+    """The monotone window's GLOBAL fallback (engine._move_robot): when the
+    carried follow_i exceeds the plan count (a dynamic-map rebuild replaced
+    the plan with a shorter one without a config change), the follower must
+    recover via the global nearest-point search instead of parking at a
+    bogus early index forever."""
+    from aosx.engine import Robot, _move_robot
+    from aosx.types import Path
+    import numpy as np
+
+    Q = S.max_plan
+    n = 30
+    xy = np.zeros((Q, 2), np.float32)
+    xy[:n, 0] = np.arange(n, dtype=np.float32) * 0.05   # straight east
+    plan = Path(xy=jnp.asarray(xy), yaw=jnp.zeros(Q), count=jnp.int32(n))
+    goal = xy[n - 1]
+
+    robot = Robot(xy=jnp.array([0.5, 0.0], jnp.float32),
+                  yaw=jnp.float32(0.0), follow_i=jnp.int32(200))  # > count
+    for _ in range(40):
+        robot = _move_robot(robot, jnp.int32(0), plan,
+                            jnp.asarray(goal), jnp.float32(0.0))
+    d_end = float(np.hypot(*(np.asarray(robot.xy) - goal)))
+    assert d_end < 0.6, f"fallback failed: robot stuck {d_end:.2f} m from end"
+    # progress restarted inside the live plan
+    assert 0 <= int(np.asarray(robot.follow_i)) < n
