@@ -100,6 +100,14 @@ class Statics:
     # coarse factor). Scale it with crossing_nmax_long so longer samples
     # don't overflow into the dense fallback.
     crossing_cap_edges_factor: int = 32
+    # Lower the A* k-candidate axis from vmap to lax.map (plan/astar.py
+    # plan_between). REQUIRED for uncached Monte-Carlo batches WIDER than
+    # 128 lanes on the axon TPU toolchain: the (lanes x candidates) nest
+    # is miscompiled at lane width 256 (deterministic wrong routes on
+    # identical tiled worlds - benchmarks/WIDTH_UNCACHED.json /
+    # WIDTH_BISECT.json; clean at 8/64/128, where vmap stays the faster
+    # lowering). The plan-cached path never hits this (no per-tick A*).
+    astar_serial_candidates: bool = False
     # Run/pair buffer size for the run-level union-find CCL
     # (perceive/rows.run_level_labels). 0 -> max(256, max_skel_cells // 8).
     # Dropout-fragmented skeletons have more, shorter runs (11/4096 realism

@@ -314,6 +314,16 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
 
     if classify is None:
         classify = cached
+    if not cached and batch > 128 and not s.astar_serial_candidates:
+        import sys as _sys
+        print(
+            "# WARNING: uncached sustained batch > 128 lanes with vmapped "
+            "A* candidates - the axon TPU toolchain miscompiles the "
+            "(lanes x candidates) nest at width 256 (wrong routes, "
+            "benchmarks/WIDTH_UNCACHED.json). Use "
+            "Statics(astar_serial_candidates=True) or batch <= 128.",
+            file=_sys.stderr, flush=True,
+        )
     refill = refill or max(1, min(batch // 2, 64))
     assert total >= batch, (total, batch)
     # every queued key must eventually start: refill groups are fixed-size

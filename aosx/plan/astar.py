@@ -161,7 +161,20 @@ def plan_between(costmat, nodes, node_valid, start_point, goal_node, params,
         )
         return path, ln, usable, jnp.where(usable, cost, INF)
 
-    paths, lens, usable, costs = jax.vmap(one)(cands)
+    if s.astar_serial_candidates:
+        # lax.map, not vmap: under an OUTER lane vmap the 2-level nest
+        # (lanes x candidates) is MISCOMPILED by the axon TPU toolchain at
+        # lane width 256 (clean at 8/64/128 — benchmarks/WIDTH_UNCACHED
+        # .json / WIDTH_BISECT.json, 2026-08-20: identical tiled worlds,
+        # lanes 205+ get a different A* route from identical inputs; same
+        # defect class as the round-3 3-level nest at width >= 16). The
+        # map keeps primitives at 1-level batching. Costs ~astar_k
+        # sequential lockstep searches — only take it when lanes > 128 are
+        # required on the uncached path; results are bit-identical
+        # (tests/test_plan.py).
+        paths, lens, usable, costs = jax.lax.map(one, cands)
+    else:
+        paths, lens, usable, costs = jax.vmap(one)(cands)
     best = jnp.argmin(costs)
     found = jnp.any(usable)
     return paths[best], jnp.where(found, lens[best], 0), found

@@ -46,9 +46,13 @@ def main():
     from aosx.parallel.batch import _acc_init, rollout_chunk, rollout_finish
     from aosx.serving import host_jit
 
-    kid = int(sys.argv[1]) if len(sys.argv) > 1 else 3951
-    widths = [int(a) for a in sys.argv[2:]] or [8, 64, 128, 256]
+    serial = "serial" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "serial"]
+    kid = int(argv[0]) if len(argv) > 0 else 3951
+    widths = [int(a) for a in argv[1:]] or [8, 64, 128, 256]
     S = MC_STATICS
+    if serial:  # the miscompile valve (config.astar_serial_candidates)
+        S = dataclasses.replace(S, astar_serial_candidates=True)
     if jax.default_backend() == "cpu":
         S = dataclasses.replace(S, jfa_dynamic_shifts=True)
     spec = OrchardSpec(
@@ -96,6 +100,7 @@ def main():
           f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     results = {"metric": "uncached_width_divergence", "key": kid,
+               "astar_serial_candidates": serial,
                "single": {"completed": bool(ref1["completed"]),
                           "steps": int(ref1["steps_to_complete"])},
                "widths": {}}
@@ -124,7 +129,8 @@ def main():
 
     print(json.dumps(results))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "WIDTH_UNCACHED.json"), "w") as f:
+                           "WIDTH_UNCACHED_SERIAL.json" if serial
+                           else "WIDTH_UNCACHED.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 

@@ -363,3 +363,36 @@ def test_linearize_backtracking_equivalence(monkeypatch):
         m = int(a.count)
         assert np.array_equal(a.xy[:m], b.xy[:m]), trial
         assert np.array_equal(a.yaw[:m], b.yaw[:m]), trial
+
+
+def test_plan_between_serial_candidates_bit_identical(graph):
+    """Statics.astar_serial_candidates (the width-256 uncached miscompile
+    valve, benchmarks/WIDTH_UNCACHED.json): lowering the k-candidate axis
+    from vmap to lax.map must be bit-identical - paths, lengths, found -
+    over random start points and goals, unbatched AND under a lane vmap."""
+    import dataclasses
+
+    nodes, edges, lengths, g = graph
+    cm = jax.jit(lambda g: jastar.cost_matrix(g, S))(g)
+    params = params_as_f32(AosParams())
+    S2 = dataclasses.replace(S, astar_serial_candidates=True)
+
+    fv = jax.jit(lambda p, b: jastar.plan_between(
+        cm, g.nodes, g.node_valid, p, b, params, S))
+    fm = jax.jit(lambda p, b: jastar.plan_between(
+        cm, g.nodes, g.node_valid, p, b, params, S2))
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(0, 10, (8, 2)).astype(np.float32))
+    goals = jnp.asarray(rng.integers(0, len(nodes), 8).astype(np.int32))
+    for i in range(8):
+        pa, la, fa = fv(pts[i], goals[i])
+        pb, lb, fb = fm(pts[i], goals[i])
+        assert np.array_equal(np.asarray(pa), np.asarray(pb)), i
+        assert int(la) == int(lb) and bool(fa) == bool(fb), i
+    # under a lane vmap (the batched MC shape)
+    bv = jax.jit(jax.vmap(lambda p, b: jastar.plan_between(
+        cm, g.nodes, g.node_valid, p, b, params, S)))(pts, goals)
+    bm = jax.jit(jax.vmap(lambda p, b: jastar.plan_between(
+        cm, g.nodes, g.node_valid, p, b, params, S2)))(pts, goals)
+    for a, b in zip(bv, bm):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
