@@ -14,8 +14,13 @@ several widths. All lanes carry IDENTICAL state, so any per-lane
 divergence — or any width whose lanes disagree with the single-instance
 run — is a compile defect, not data. Prints CLEAN/BROKEN per width.
 
-Run: python benchmarks/probe_width_uncached.py [kid] [widths...]
-Writes benchmarks/WIDTH_UNCACHED.json.
+Run: python benchmarks/probe_width_uncached.py [kid] [widths...] [serial] [cached]
+  serial: set Statics.astar_serial_candidates (the miscompile valve)
+  cached: check the PLAN-CACHED step path instead (step_cached tiled to
+          each width - the production MC path; verifies the audit rule at
+          4096 lanes explicitly rather than inferring it from completion-
+          gated artifacts)
+Writes benchmarks/WIDTH_UNCACHED[_SERIAL|_CACHED].json.
 """
 
 import dataclasses
@@ -43,11 +48,15 @@ def main():
     from aosx import engine
     from aosx.config import MC_STATICS, AosParams, params_as_f32
     from aosx.orchards import OrchardSpec, make_orchard
-    from aosx.parallel.batch import _acc_init, rollout_chunk, rollout_finish
+    from aosx.parallel.batch import (
+        _acc_init, rollout_chunk, rollout_chunk_cached, rollout_finish,
+    )
+    from aosx.plan import plancache
     from aosx.serving import host_jit
 
     serial = "serial" in sys.argv[1:]
-    argv = [a for a in sys.argv[1:] if a != "serial"]
+    cached = "cached" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a not in ("serial", "cached")]
     kid = int(argv[0]) if len(argv) > 0 else 3951
     widths = [int(a) for a in argv[1:]] or [8, 64, 128, 256]
     S = MC_STATICS
@@ -68,25 +77,42 @@ def main():
     world = jax.jit(lambda pc, poly: engine.prepare_world(
         pc, poly, params, excl, S, ror_method="sorted"))(pc, poly)
     jax.block_until_ready(world)
+    if cached:
+        cache1 = jax.jit(lambda w: plancache.build_plan_cache(
+            w, params, S))(world)
+        import dataclasses as _dc2
+        cache1 = _dc2.replace(cache1, plan_yaw=cache1.plan_yaw[:, :0])
+        lite1 = plancache.world_lite(world)
+        st1 = plancache.initial_cached_state(world, S)
+        jax.block_until_ready(cache1)
     print(f"# world built ({time.time() - t0:.0f}s)", file=sys.stderr,
           flush=True)
 
+    def tile(tree, Wd):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.tile(jnp.asarray(x)[None],
+                               (Wd,) + (1,) * jnp.asarray(x).ndim), tree)
+
     # single-instance ground truth (same chunked code at width 1)
     def run_width(Wd):
-        wb = jax.tree_util.tree_map(
-            lambda x: jnp.tile(jnp.asarray(x)[None],
-                               (Wd,) + (1,) * jnp.asarray(x).ndim), world)
-        st = jax.vmap(lambda w: engine.initial_state(w, S))(wb)
-        acc = jax.tree_util.tree_map(
-            lambda x: jnp.tile(jnp.asarray(x)[None],
-                               (Wd,) + (1,) * jnp.asarray(x).ndim),
-            _acc_init(S, BUDGET))
-        chunk = host_jit(jax.vmap(
-            lambda w, st, acc, off: rollout_chunk(w, st, acc, params, S,
-                                                  CHUNK, off),
-            in_axes=(0, 0, 0, None)))
-        for c in range(BUDGET // CHUNK):
-            st, acc = chunk(wb, st, acc, jnp.int32(c * CHUNK))
+        acc = tile(_acc_init(S, BUDGET), Wd)
+        if cached:
+            lb, cb, st = tile(lite1, Wd), tile(cache1, Wd), tile(st1, Wd)
+            chunk = host_jit(jax.vmap(
+                lambda l, c, st, acc, off: rollout_chunk_cached(
+                    l, c, st, acc, params, S, CHUNK, off),
+                in_axes=(0, 0, 0, 0, None)))
+            for c in range(BUDGET // CHUNK):
+                st, acc = chunk(lb, cb, st, acc, jnp.int32(c * CHUNK))
+        else:
+            wb = tile(world, Wd)
+            st = jax.vmap(lambda w: engine.initial_state(w, S))(wb)
+            chunk = host_jit(jax.vmap(
+                lambda w, st, acc, off: rollout_chunk(w, st, acc, params, S,
+                                                      CHUNK, off),
+                in_axes=(0, 0, 0, None)))
+            for c in range(BUDGET // CHUNK):
+                st, acc = chunk(wb, st, acc, jnp.int32(c * CHUNK))
         out = jax.tree_util.tree_map(
             np.asarray, host_jit(jax.vmap(
                 lambda st, acc: rollout_finish(st, acc, S)))(st, acc))
@@ -99,7 +125,8 @@ def main():
           f"steps={int(ref1['steps_to_complete'])} "
           f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
-    results = {"metric": "uncached_width_divergence", "key": kid,
+    results = {"metric": ("cached_width_divergence" if cached
+                          else "uncached_width_divergence"), "key": kid,
                "astar_serial_candidates": serial,
                "single": {"completed": bool(ref1["completed"]),
                           "steps": int(ref1["steps_to_complete"])},
@@ -129,8 +156,9 @@ def main():
 
     print(json.dumps(results))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "WIDTH_UNCACHED_SERIAL.json" if serial
-                           else "WIDTH_UNCACHED.json"), "w") as f:
+                           "WIDTH_CACHED.json" if cached else
+                           ("WIDTH_UNCACHED_SERIAL.json" if serial
+                            else "WIDTH_UNCACHED.json")), "w") as f:
         json.dump(results, f, indent=1)
 
 
