@@ -90,7 +90,7 @@ class Statics:
     # Sample cap for LONG ridge candidates in the packed edge-crossing
     # filter (gvd/graph.py two-tier caps: 64 covers edges <= 63*res/2, this
     # tier the rest). Edges longer than (this-1)*res/2 sample coarser than
-    # the reference and trip GUARD_EDGE_COARSE. 256 (12.75 m at 0.05 res)
+    # the reference and trip GUARD_EDGE_COARSE. 256 (6.375 m at 0.05 res)
     # suits straight-row fields; curved-row/dropout worlds grow corridor-
     # spanning ridges past it (CLASSIFY_realism.json: 680/4096 lanes) —
     # MC_REALISM_STATICS raises it.

@@ -219,19 +219,6 @@ def _move_robot(robot: Robot, mod, plan: Path, goal_xy, goal_yaw,
     return Robot(xy=new_xy, yaw=wrap_angle(new_yaw), follow_i=follow_i)
 
 
-def _mission_config_changed(old: MissionState, new: MissionState):
-    """Did the discrete planning configuration (the plan-cache row key,
-    plan/plancache.py module docstring) change this tick? Used as the
-    follower's progress-reset condition — shared verbatim by step and
-    step_cached so their trajectories stay bit-identical."""
-    return (
-        (new.target_wp != old.target_wp)
-        | (new.prev_wp != old.prev_wp)
-        | (new.origin_appended != old.origin_appended)
-        | (new.initial_reached != old.initial_reached)
-    )
-
-
 def step(state: EngineState, world: World, params: AosParams, s: Statics,
          *, v_dt=jnp.float32(0.12)):
     """One engine tick. Returns (state, metrics dict). v_dt is the stand-in
@@ -275,15 +262,23 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
     )
 
     # 3. robot kinematics. The follower's monotone progress index resets
-    # when the DISCRETE mission config changes (a new leg's plan was
-    # adopted) - NOT on use_new alone, which fires every unfrozen tick
-    # under the replan-every-tick contract. The same expression in
-    # step_cached keeps the two engines bit-identical.
+    # when the adopted plan's CONTENT changes - NOT on use_new alone, which
+    # fires every unfrozen tick under the replan-every-tick contract and
+    # (on a static world) re-adopts the same path. Comparing content also
+    # covers every dynamic-map case a config-change test would miss: a
+    # late adoption after a graph rebuild (config changed ticks earlier,
+    # when the replan still failed) and a rebuild that replaces the plan
+    # for the SAME config. step_cached's row-index reset is the same
+    # condition in cache coordinates (distinct rows hold distinct plans -
+    # consecutive legs end at waypoints >= 0.2 m apart).
+    content_changed = use_new & (
+        (raw.count != state.raw_path.count)
+        | jnp.any(raw.xy != state.raw_path.xy)
+    )
     robot_in = dataclasses.replace(
         state.robot,
-        follow_i=jnp.where(
-            use_new & _mission_config_changed(state.mission, mission),
-            0, state.robot.follow_i).astype(jnp.int32),
+        follow_i=jnp.where(content_changed, 0,
+                           state.robot.follow_i).astype(jnp.int32),
     )
     robot = _move_robot(robot_in, mod_pub, plan_path, ctrl.goal_xy,
                         ctrl.goal_yaw, v_dt=v_dt)

@@ -315,13 +315,21 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     if classify is None:
         classify = cached
     if not cached and batch > 128 and not s.astar_serial_candidates:
+        # AUTO-ENABLE the miscompile valve rather than warn: the axon TPU
+        # toolchain miscompiles the vmapped (lanes x candidates) A* nest at
+        # lane width 256 into silently WRONG routes on bit-identical inputs
+        # (benchmarks/WIDTH_UNCACHED.json / WIDTH_BISECT.json; 8/64/128
+        # verified clean). The serial lowering is bit-identical
+        # (tests/test_plan.py), so forcing it can only cost speed - and a
+        # plausible-but-wrong Monte-Carlo result is never acceptable.
+        import dataclasses as _dc
         import sys as _sys
+
+        s = _dc.replace(s, astar_serial_candidates=True)
         print(
-            "# WARNING: uncached sustained batch > 128 lanes with vmapped "
-            "A* candidates - the axon TPU toolchain miscompiles the "
-            "(lanes x candidates) nest at width 256 (wrong routes, "
-            "benchmarks/WIDTH_UNCACHED.json). Use "
-            "Statics(astar_serial_candidates=True) or batch <= 128.",
+            "# sustained_rollouts: uncached batch > 128 lanes - forcing "
+            "Statics(astar_serial_candidates=True) (width-256 A* nest "
+            "miscompile, benchmarks/WIDTH_UNCACHED.json)",
             file=_sys.stderr, flush=True,
         )
     refill = refill or max(1, min(batch // 2, 64))

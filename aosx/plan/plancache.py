@@ -472,13 +472,16 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
     if external_pose:
         robot = state.robot
     else:
-        from ..engine import _mission_config_changed
-
+        # reset the follower's monotone progress when the ADOPTED ROW
+        # changes - the cache-coordinate version of engine.step's
+        # content-changed reset (distinct rows hold distinct plans; a
+        # graph rebuild parks adoption on the carry row, so the first
+        # post-rebuild adoption is an index change too). Same-row
+        # re-adoption (use_new every unfrozen tick) keeps the index.
         robot_in = dataclasses.replace(
             state.robot,
-            follow_i=jnp.where(
-                use_new & _mission_config_changed(state.mission, mission),
-                0, state.robot.follow_i).astype(jnp.int32),
+            follow_i=jnp.where(use_new & (idx_now != state.adopted), 0,
+                               state.robot.follow_i).astype(jnp.int32),
         )
         robot = _move_robot(robot_in, mod_pub, plan_path, ctrl.goal_xy,
                             ctrl.goal_yaw, v_dt=v_dt)

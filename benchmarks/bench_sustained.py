@@ -66,11 +66,8 @@ def main():
     S = MC_REALISM_STATICS if realism else MC_STATICS
     if realism:
         spec = dataclasses.replace(spec, row_curve=0.8, dropout=0.15)
-    if not cached and batch > 128:
-        # the vmapped (lanes x candidates) A* nest is miscompiled at lane
-        # width 256 on this toolchain (WIDTH_UNCACHED.json); the serial-
-        # candidate lowering is bit-identical and immune
-        S = dataclasses.replace(S, astar_serial_candidates=True)
+    # uncached batches > 128 lanes: sustained_rollouts itself force-enables
+    # astar_serial_candidates (the width-256 miscompile valve)
     params = params_as_f32(AosParams())
 
     last = [0.0]

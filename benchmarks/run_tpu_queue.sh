@@ -34,9 +34,18 @@ run() {
   echo "=== $(date -u +%H:%M:%S) [$TAG] DONE rc=$rc : $*"
 }
 
-# bounded liveness wait (the queue analogue of bench.py's _wait_chip_alive)
+# bounded liveness wait (the queue analogue of bench.py's _wait_chip_alive);
+# override with QUEUE_WAIT_BOUND_S (default 6 h). Past the bound, write a
+# FAILED marker and exit nonzero so "still waiting" and "gave up" are
+# distinguishable from the done-marker alone.
+BOUND="${QUEUE_WAIT_BOUND_S:-21600}"
 waited=0
 until timeout 180 python benchmarks/probe_liveness.py; do
+  if [ "$waited" -ge "$BOUND" ]; then
+    echo "=== $(date -u +%H:%M:%S) [$TAG] chip dead past ${BOUND}s bound - giving up"
+    touch "/tmp/TPU_QUEUE_${TAG}_FAILED"
+    exit 17
+  fi
   echo "--- $(date -u +%H:%M:%S) [$TAG] chip dead (${waited}s waited), sleeping 300s"
   sleep 300
   waited=$((waited + 300))
