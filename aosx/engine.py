@@ -271,9 +271,13 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
     # for the SAME config. step_cached's row-index reset is the same
     # condition in cache coordinates (distinct rows hold distinct plans -
     # consecutive legs end at waypoints >= 0.2 m apart).
+    # BITWISE content compare (int32 bitcast): a float != would treat a
+    # NaN-carrying path as "changed" every tick (NaN != NaN), resetting
+    # the monotone index exactly where the path is already degenerate
+    raw_bits = jax.lax.bitcast_convert_type(raw.xy, jnp.int32)
+    old_bits = jax.lax.bitcast_convert_type(state.raw_path.xy, jnp.int32)
     content_changed = use_new & (
-        (raw.count != state.raw_path.count)
-        | jnp.any(raw.xy != state.raw_path.xy)
+        (raw.count != state.raw_path.count) | jnp.any(raw_bits != old_bits)
     )
     robot_in = dataclasses.replace(
         state.robot,
