@@ -78,6 +78,13 @@ class Statics:
     max_plan: int = 4096               # densified 5 cm plan cap
     astar_k: int = 5                   # candidate start nodes (k-nearest)
     max_segments: int = 10             # linearization max segments (long dist)
+    # Padded-CSR A* adjacency width (plan/astar.CsrCosts): neighbor slots
+    # per node. GVD corridor graphs measure max degree 3-4 (ridge chains
+    # are degree-2; proximity edges are top-8-capped per node in
+    # gvd/graph.py), so 16 is generous; overflow trips GUARD_DEGREE_CAP.
+    # Memory is O(max_nodes * max_degree) — the round-4 dense [N, N]
+    # matrix (1 GB at 16384 nodes, FLOOR.md §3b) is gone.
+    max_degree: int = 16
 
     # Coarse factor for the packed coarse-to-fine edge-crossing filter
     # (gvd/graph.edge_crossing_packed): every C4-th fine sample is probed in
@@ -108,6 +115,13 @@ class Statics:
     # WIDTH_BISECT.json; clean at 8/64/128, where vmap stays the faster
     # lowering). The plan-cached path never hits this (no per-tick A*).
     astar_serial_candidates: bool = False
+    # Exact-pairwise-length band for skeleton clusters
+    # (perceive/rows.cluster_grid): clusters with more cells than this get
+    # UNDER-estimated lengths (GUARD_CLUSTER_LEN). 0 -> min(4096,
+    # max_skel_cells), which covers a 204 m skeleton row at 0.05 m res;
+    # Statics.for_grid scales it with the grid's long side (the banded
+    # pairwise pass costs O(max_skel_cells * 3 * band)).
+    cluster_band: int = 0
     # Run/pair buffer size for the run-level union-find CCL
     # (perceive/rows.run_level_labels). 0 -> max(256, max_skel_cells // 8).
     # Dropout-fragmented skeletons have more, shorter runs (11/4096 realism
@@ -166,6 +180,63 @@ class Statics:
         # reference: int(inflation_radius / grid_resolution), C-truncation
         # (src/aos_seed_gen_node.cpp:936)
         return int(self.inflation_radius / self.resolution)
+
+    @classmethod
+    def for_grid(cls, grid_h: int, grid_w: int, resolution: float = 0.05,
+                 **overrides) -> "Statics":
+        """Content caps derived for an arbitrary (grid_h x grid_w) map —
+        the large-map preset VERDICT r4 asked for (missing #1): 300–400 m
+        fields run guard-clean out of the box instead of needing the
+        hand-tuned cap scaling probe_grid_ceiling applied in round 4.
+
+        Calibration point: the measured BENCH-scale content at 2000x2048
+        (FLOOR.md profile: ~36 k skeleton cells, ~4 k seeds, ~7.4 k nodes,
+        10 rows) with ~2x headroom. Scaling rules:
+
+        - skeleton / seed / node / edge content is proportional to total
+          corridor length, i.e. to grid AREA;
+        - per-row structures (cluster band, rows, waypoints, path/plan
+          lengths) scale with the grid's LONG SIDE;
+        - the cluster band covers one full-length skeleton row (the
+          round-4 ceiling's `cluster_length_band_exceeded` flag), at
+          O(max_skel_cells * 3 * band) banded-pairwise cost;
+        - i32 sort/dedupe keys bound two caps: node-pair keys `a*N+b`
+          need N <= 46340 (cap 32768) and seed-pair keys `lo*(S+1)+hi`
+          need S <= 46340 (cap 16384) — both in gvd/graph.py.
+
+        The node cap scales freely only because round 5's padded-CSR A*
+        costs (plan/astar.CsrCosts) replaced the dense [N, N] matrix,
+        which was 1 GB at 16384 nodes (FLOOR.md §3b); the proximity pass
+        is row-chunked for the same reason. The Pallas JFA tier is safe to
+        leave on: gvd/voronoi.py auto-valves it at >= 4000 grid rows
+        (remote Mosaic compile-helper crash, CLAUDE.md round-4 note).
+        """
+        cells = grid_h * grid_w
+        area = max(1, -(-cells // (2000 * 2048)))          # ceil ratio
+        long_side = max(grid_h, grid_w)
+        linear = max(1, -(-long_side // 2048))
+        max_rows = max(32, 16 * linear)
+        base = dict(
+            grid_h=grid_h, grid_w=grid_w, resolution=resolution,
+            max_points=min(131072 * area, 1048576),
+            max_skel_cells=65536 * area,
+            max_rows=max_rows,
+            max_seeds_per_row=512,
+            max_seeds=4096 * min(area, 4),
+            max_nodes=min(8192 * area, 32768),
+            max_edges=min(32768 * area, 131072),
+            max_labels=8 * max_rows,
+            max_waypoints=2 * max_rows + 4,
+            max_path=768 * linear,
+            max_plan=4096 * linear,
+            cluster_band=min(((long_side + 511) // 512) * 512,
+                             65536 * area),
+            crossing_nmax_long=512,
+            crossing_cap_edges_factor=48,
+            jfa_pass_pallas=True,
+        )
+        base.update(overrides)
+        return cls(**base)
 
 
 # A small config for fast tests.

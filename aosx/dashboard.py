@@ -216,6 +216,15 @@ def main():
                          "the replay uses")
     args = ap.parse_args()
 
+    # --serve / --cached only have a meaning on the --pcd-seq serving loop;
+    # silently falling through to the one-shot episode path surprised a
+    # reviewer (ADVICE r4) — fail loudly instead.
+    if args.serve and not args.pcd_seq:
+        ap.error("--serve requires --pcd-seq (the live serving loop runs "
+                 "over a map-frame sequence)")
+    if args.cached and not args.pcd_seq:
+        ap.error("--cached requires --pcd-seq")
+
     if args.device == "cpu":
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 

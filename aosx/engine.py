@@ -49,7 +49,7 @@ class World:
     skeleton: Any      # GridWorld
     occupancy: Any     # GridWorld
     graph: Any         # GvdGraph
-    costmat: Any       # [N,N]
+    costmat: Any       # plan.astar.CsrCosts ([N, D] padded adjacency)
     waypoints: Any     # Waypoints (initial tour)
     guards: Any = dataclasses.field(
         default_factory=lambda: jnp.int32(0))  # aosx.guards bitmask
@@ -125,13 +125,14 @@ def world_from_perceive(out, params: AosParams, s: Statics, *,
                             stencil_mesh=stencil_mesh, stencil_axis=stencil_axis)
     from .plan.mission import trim_distance_plane
 
+    costmat = cost_matrix(graph, s)
     return World(
         skeleton=out.skeleton,
         occupancy=out.occupancy,
         graph=graph,
-        costmat=cost_matrix(graph, s),
+        costmat=costmat,
         waypoints=build_waypoints(graph, params, s),
-        guards=out.guards | graph.guards,
+        guards=out.guards | graph.guards | costmat.guards,
         trim_skel=trim_distance_plane(out.skeleton, s),
     )
 

@@ -18,6 +18,7 @@ GUARD_CROSS_DENSE = 32    # packed crossing overflowed -> dense fallback
 GUARD_CCL_CELL_FALLBACK = 64  # run-level CCL overflowed -> cell-level path
 GUARD_NONFINITE = 128     # NaN/Inf leaked into a published tick output
 GUARD_RIDGE_COMPACT = 256  # ridge candidate compaction overflowed (fast mode)
+GUARD_DEGREE_CAP = 512    # a node exceeded max_degree; CSR edges dropped
 
 _NAMES = {
     GUARD_ROR_SPAN: "ror_sorted_block_span",
@@ -29,6 +30,7 @@ _NAMES = {
     GUARD_CCL_CELL_FALLBACK: "ccl_cell_level_fallback",
     GUARD_NONFINITE: "nonfinite_tick_output",
     GUARD_RIDGE_COMPACT: "ridge_candidate_compaction_overflow",
+    GUARD_DEGREE_CAP: "astar_degree_capped",
 }
 
 

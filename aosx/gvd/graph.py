@@ -25,6 +25,12 @@ from ..config import AosParams, Statics
 from ..types import GridWorld, GvdGraph, SeedSet, TreeRows
 from .voronoi import jump_flood
 
+# Proximity-pass row-chunk size (build_edges): bounds the [RC, N] pairwise
+# transient at N x 8 KB instead of the [N, N] plane that would be 4 GB at
+# the for_grid giant-map node caps. Module-level so the bit-equality test
+# can pin chunked == unchunked (tests/test_gvd.py).
+_PROX_CHUNK = 2048
+
 
 def _clearances(skel, pos, edges, edge_valid, s):
     from .clearance import edge_clearances, obstacle_distance_field
@@ -500,29 +506,51 @@ def build_edges(pos, owners, node_valid, grid: GridWorld, seeds: SeedSet,
                            jnp.int32(s.crossing_nmax_long))
 
     # ---- proximity edges <= 0.5 m (cpp:861-894) ---------------------------
-    # pairwise over nodes; (i < j) lexicographic order like the reference
+    # pairwise over nodes; (i < j) lexicographic order like the reference.
+    # ROW-CHUNKED (round 5): a full [N, N] d2/mask pair is 1 GB at
+    # N = 16384 and 4 GB at the for_grid giant-map caps — chunks keep the
+    # transient O(RC * N) with bit-identical per-row results (the partner
+    # top_k and the overflow row-sum are row-local).
     posm = jnp.where(node_valid[:, None], pos, 1e9)
-    d2 = (
-        (posm[:, None, 0] - posm[None, :, 0]) ** 2
-        + (posm[:, None, 1] - posm[None, :, 1]) ** 2
-    )
     iidx = jnp.arange(N)
     t = jnp.asarray(params.proximity_edge_dist, jnp.float32)
-    prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > iidx[:, None])
     # per-row top_k (nodes rarely have > PPN partners within 0.5 m), then a
     # small compaction - a global top_k over the N^2 mask was the hot spot
     from ..ops import compact_true
 
     PPN = 8
-    row_j = jnp.where(prox, iidx[None, :], N)              # [N,N]
     # guard the per-node partner cap: a node with > PPN partners within the
     # proximity distance silently drops edges the reference would add
     # (PARITY.md bounded approximations; ADVICE r1)
     from ..guards import GUARD_PROX_PPN
 
-    ppn_overflow = jnp.any(jnp.sum(prox.astype(jnp.int32), axis=1) > PPN)
-    negj, _ = jax.lax.top_k(-row_j, PPN)                    # j ascending
-    cand_j = -negj                                          # [N,PPN]
+    def _prox_rows(rpos, ri):
+        """[RC] global row ids -> (overflow bool, partner ids [RC, PPN])."""
+        d2 = (
+            (rpos[:, None, 0] - posm[None, :, 0]) ** 2
+            + (rpos[:, None, 1] - posm[None, :, 1]) ** 2
+        )
+        prox = (d2 <= t * t) & (d2 > 1e-12) & (iidx[None, :] > ri[:, None])
+        over = jnp.any(jnp.sum(prox.astype(jnp.int32), axis=1) > PPN)
+        row_j = jnp.where(prox, iidx[None, :], N)
+        negj, _ = jax.lax.top_k(-row_j, PPN)                # j ascending
+        return over, -negj
+
+    RC = min(_PROX_CHUNK, N)
+    if N % RC:  # caps are powers of two in every preset; keep the chunking
+        RC = N  # honest for odd user caps by falling back to one chunk
+    if N == RC:
+        ppn_overflow, cand_j = _prox_rows(posm, iidx)
+    else:
+        def _chunk(carry, ci):
+            base = ci * RC
+            rpos = jax.lax.dynamic_slice(posm, (base, 0), (RC, 2))
+            over, cj = _prox_rows(rpos, base + jnp.arange(RC))
+            return carry | over, cj
+
+        ppn_overflow, cand_chunks = jax.lax.scan(
+            _chunk, jnp.bool_(False), jnp.arange(N // RC))
+        cand_j = cand_chunks.reshape(N, PPN)
     cand_ok = cand_j < N
     cand_i = jnp.broadcast_to(iidx[:, None], (N, PPN))
     flat_ok = cand_ok.reshape(-1)                           # (i asc, j asc)

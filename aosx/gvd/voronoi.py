@@ -152,12 +152,20 @@ def jump_flood(grid: GridWorld, seeds: SeedSet, s: Statics):
 
     passes = _passes(s)
     state = (owner, ox, oy)
+    # In-library valve for the Pallas tier (VERDICT r4 missing #3): the
+    # remote Mosaic compile helper CRASHES (HTTP 500) compiling the banded
+    # kernel at >= 4000 grid rows (first GRID_CEILING run, real v5e,
+    # 2026-08-20 — see CLAUDE.md round-4 notes). Degrade to the bit-identical
+    # XLA lowering instead of letting a user's jfa_pass_pallas=True on a
+    # giant grid crash the compile; same auto-valve pattern as
+    # parallel/batch.py's astar_serial_candidates.
+    use_pallas = s.jfa_pass_pallas and h < 4000
     if not s.jfa_dynamic_shifts:
-        if s.jfa_pass_pallas:
+        if use_pallas:
             from .jfa_pass_pallas import MAX_STEP, jfa_pass
 
         for step in passes:
-            if s.jfa_pass_pallas and step <= MAX_STEP:
+            if use_pallas and step <= MAX_STEP:
                 state = jfa_pass(
                     state[0], state[1], state[2], step, S,
                     grid.origin_x, grid.origin_y, s.resolution,

@@ -80,9 +80,39 @@ def rollout_one(key, spec: OrchardSpec, params: AosParams, s: Statics, n_steps: 
     return rollout_summary(final, metrics, s)
 
 
+def width_valve(s: Statics, width: int, *, cached: bool = False) -> Statics:
+    """Auto-enable the width-miscompile valve for any harness about to vmap
+    the UNCACHED step over `width` lanes (ADVICE r4: the valve used to live
+    only inside sustained_rollouts; every other entry point silently kept
+    the hazardous lowering). The axon TPU toolchain miscompiles the vmapped
+    (lanes x candidates) A* nest at lane width 256 into silently WRONG
+    routes on bit-identical inputs (benchmarks/WIDTH_UNCACHED.json /
+    WIDTH_BISECT.json; 8/64/128 verified clean). The serial lowering is
+    bit-identical (tests/test_plan.py), so forcing it can only cost speed —
+    and a plausible-but-wrong Monte-Carlo result is never acceptable. The
+    plan-cached path runs no per-tick A* and is explicitly width-verified
+    clean at 256/1024/4096 (WIDTH_CACHED.json), so cached=True is exempt.
+    Applied unconditionally of backend: the cost on CPU meshes is speed
+    only, and a CPU dryrun that silently used a different lowering than the
+    TPU run would defeat the bit-equality checks."""
+    if cached or width <= 128 or s.astar_serial_candidates:
+        return s
+    import dataclasses as _dc
+    import sys as _sys
+
+    print(
+        f"# aosx.parallel: uncached vmap width {width} > 128 - forcing "
+        "Statics(astar_serial_candidates=True) (width-256 A* nest "
+        "miscompile, benchmarks/WIDTH_UNCACHED.json)",
+        file=_sys.stderr, flush=True,
+    )
+    return _dc.replace(s, astar_serial_candidates=True)
+
+
 def batched_rollouts(keys, spec, params, s, n_steps, ror_method="sorted",
                      v_dt=None):
     """vmap over orchards within one device."""
+    s = width_valve(s, int(keys.shape[0]))
     return jax.vmap(
         lambda k: rollout_one(k, spec, params, s, n_steps, ror_method, v_dt)
     )(keys)
@@ -286,7 +316,8 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
                        seed: int = 0, ror_method: str = "sorted",
                        cached: bool = False, on_progress=None,
                        params_queue: AosParams | None = None, keys=None,
-                       classify: bool | None = None):
+                       classify: bool | None = None,
+                       mesh: Mesh | None = None):
     """Run `total` full rollouts through `batch` device lanes with refill.
 
     Returns (results, stats): `results` is a dict of np arrays indexed by
@@ -309,29 +340,23 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     `classify`: compute the per-rollout `feasible` field (plancache.
     tour_feasibility). Default: True when cached (free — the cache is
     already built), False when uncached (costs a plan-cache A* sweep per
-    begin; pass True for honest accounting on hard worlds)."""
+    begin; pass True for honest accounting on hard worlds).
+
+    `mesh` (VERDICT r4 next #5): shard the `batch` lanes over the mesh's
+    'data' axis — THE SUSTAINED HARNESS ITSELF executes across devices
+    instead of projecting single-chip numbers x8. The lane state lives
+    with NamedSharding(P('data')) on its leading axis; the jitted
+    begin/chunk/finish/scatter callables partition automatically under
+    XLA SPMD (rollouts are lane-independent — no cross-lane op exists, so
+    no collectives beyond the refill scatters). Host-side queue logic is
+    unchanged and results are BIT-EQUAL per lane to the mesh=None run
+    (asserted by __graft_entry__.dryrun_multichip on the 8-device CPU
+    mesh). batch must divide by the mesh's device count."""
     import time
 
     if classify is None:
         classify = cached
-    if not cached and batch > 128 and not s.astar_serial_candidates:
-        # AUTO-ENABLE the miscompile valve rather than warn: the axon TPU
-        # toolchain miscompiles the vmapped (lanes x candidates) A* nest at
-        # lane width 256 into silently WRONG routes on bit-identical inputs
-        # (benchmarks/WIDTH_UNCACHED.json / WIDTH_BISECT.json; 8/64/128
-        # verified clean). The serial lowering is bit-identical
-        # (tests/test_plan.py), so forcing it can only cost speed - and a
-        # plausible-but-wrong Monte-Carlo result is never acceptable.
-        import dataclasses as _dc
-        import sys as _sys
-
-        s = _dc.replace(s, astar_serial_candidates=True)
-        print(
-            "# sustained_rollouts: uncached batch > 128 lanes - forcing "
-            "Statics(astar_serial_candidates=True) (width-256 A* nest "
-            "miscompile, benchmarks/WIDTH_UNCACHED.json)",
-            file=_sys.stderr, flush=True,
-        )
+    s = width_valve(s, batch, cached=cached)
     refill = refill or max(1, min(batch // 2, 64))
     assert total >= batch, (total, batch)
     # every queued key must eventually start: refill groups are fixed-size
@@ -432,6 +457,22 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     params_b = _q(0, batch)
     _dbg("concat", (world_b, st_b, acc_b))
 
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        assert batch % n_dev == 0, (batch, n_dev)
+        lane_shard = NamedSharding(mesh, P("data"))
+
+        def _to_mesh(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, lane_shard), tree)
+
+        world_b, st_b, acc_b = _to_mesh((world_b, st_b, acc_b))
+        if swept:
+            params_b = _to_mesh(params_b)
+        _ages = lambda a: jax.device_put(jnp.asarray(a), lane_shard)  # noqa: E731
+    else:
+        _ages = jnp.asarray
+
     # warm the steady-state callables BEFORE the timed region so the
     # sustained number measures throughput, not first-call compilation.
     # Real discarded calls, NOT .lower().compile(): AOT-compiling a jit does
@@ -439,7 +480,7 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
     # call would re-trace + re-compile inside the measured window. The calls
     # are pure (originals untouched) and the transient output copies are no
     # larger than what every steady-state scatter call allocates anyway.
-    ages_dev = jnp.asarray(ages)
+    ages_dev = _ages(ages)
     idx0 = jnp.arange(refill, dtype=jnp.int32)
     new0 = jax.tree_util.tree_map(lambda a: a[:refill], (world_b, st_b, acc_b))
     jax.block_until_ready(chunk(world_b, st_b, acc_b, ages_dev, params_b))
@@ -459,7 +500,7 @@ def sustained_rollouts(total: int, batch: int, spec: OrchardSpec,
 
     t0 = time.perf_counter()
     while n_recorded < total:
-        st_b, acc_b = chunk(world_b, st_b, acc_b, jnp.asarray(ages), params_b)
+        st_b, acc_b = chunk(world_b, st_b, acc_b, _ages(ages), params_b)
         _dbg(f"chunk#{n_chunk_calls}", (st_b, acc_b))
         n_chunk_calls += 1
         ages += chunk_steps

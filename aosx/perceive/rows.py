@@ -318,7 +318,9 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # within +-1 block of each other for clusters <= B cells (a 409 m
     # skeleton row at 0.1 m res; full-pairwise fallback only if B >= M).
     cell_cid = jnp.where(cell_ok, jnp.minimum(seg, K), K)
-    B = min(4096, M)
+    B = s.cluster_band if s.cluster_band else min(4096, M)
+    if B > 512:  # the row-chunk scan below requires B % C == 0 (C = 512)
+        B = ((B + 511) // 512) * 512
     nblk = (M + B - 1) // B
     Mp = nblk * B
     sorder = jnp.argsort(cell_cid, stable=True)

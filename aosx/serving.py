@@ -212,7 +212,20 @@ def serve_map_frame(sv: ServeState, pc_f: PointCloud, poly: Polygon,
         fresh = plancache.carry_adopted_row(fresh, old_cache, sv.st.adopted)
         fresh = plancache.pin_live_row(fresh, inc.world, mission, wp,
                                        params, s)
-        return fresh, jnp.int32(plancache.num_rows(s))
+        # ADVICE r4: engine.step resets the follower's monotone index only
+        # when the adopted plan CONTENT changes bitwise (engine.py:264-288).
+        # Parking adoption at the carry row when the rebuilt live row holds
+        # the bitwise-identical plan would make the next re-adoption look
+        # like a row change and spuriously reset follow_i — re-opening the
+        # self-crossing-capture corner on dynamic-map rebuilds. Park at the
+        # live row instead: the published bits are identical either way,
+        # and re-adoption is then a row no-op exactly when engine.step's
+        # content compare is a no-op. One [max_plan]-sized compare per
+        # REBUILD (amortized; never on the per-tick path).
+        carry_idx = jnp.int32(plancache.num_rows(s))
+        live_idx = plancache.cache_row_index(mission, s)
+        same = plancache.rows_bitwise_equal(fresh, carry_idx, live_idx)
+        return fresh, jnp.where(same, live_idx, carry_idx).astype(jnp.int32)
 
     def keep(args):
         return args

@@ -122,6 +122,13 @@ def main():
         "budget_exhausted": total - done,
         "guard_flagged_lanes": flagged,
         "feasibility_classified": bool(classified),
+        # scope of the label (tour_feasibility docstring, VERDICT r4 weak
+        # #4): 'infeasible' is absolute (no plan point enters the docking
+        # ring), 'feasible' is relative to a controller that converges on
+        # plan points — the repo's stand-in follower. A sloppier external
+        # controller should re-classify with tour_feasibility(dock_margin>0)
+        "feasibility_contract": "plan-point-converging follower; "
+                                "dock_margin=0",
         "capacity_invalidated": int(((~comp) & gflag).sum()),
         "infeasible_worlds": int(infeasible.sum()),
         "budget_exhausted_residual": int(residual.sum()),

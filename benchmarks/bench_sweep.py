@@ -63,7 +63,13 @@ def main():
             n_rows=4, row_len=12.0, row_spacing=3.5, tree_spacing=1.0,
             trunk_pts=16, noise_pts=64, origin=(4.0, 3.0), polygon_pad=1.5,
         )
-        defaults = (512, 128, 1200, "SWEEP.json")
+        # budget 2400 (VERDICT r4 weak #1): at 1200 ~5% of FEASIBLE lanes
+        # per config were right-censored out of travel/steps means — and
+        # SUSTAINED_REALISM_B2400.json proves every feasible realism world
+        # completes by 2400, so the doubling costs ~45 s of device time and
+        # removes the censoring entirely. censored_feasible below keeps the
+        # artifact honest if a future config reintroduces it.
+        defaults = (512, 128, 2400, "SWEEP.json")
         chunk_steps, refill, ror = 150, 64, "sorted"
     if realism:
         # curved rows + dropout (bench_sustained realism mode): sweep on the
@@ -134,6 +140,13 @@ def main():
                 np.divide(comp_t.sum(axis=1), n_feas,
                           out=np.zeros(P), where=n_feas > 0)
             ],
+            # right-censored lanes: FEASIBLE but not completed at this
+            # budget — these fall out of travel_mean/steps_mean, the
+            # survivorship bias the classifier exists to kill. Should be 0
+            # at the budget-2400 default (VERDICT r4 weak #1); nonzero
+            # values flag the artifact's means as censored.
+            "censored_feasible":
+                ((ftab == 1) & ~comp_t).sum(axis=1).tolist(),
         }
     result = {
         "metric": "mc_param_sweep_rollouts_per_sec_per_chip",

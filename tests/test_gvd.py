@@ -259,3 +259,34 @@ def test_crossing_coarse_fine_matches_dense(seed):
     packed, dense = run(grid, jnp.asarray(a), jnp.asarray(b),
                         jnp.asarray(nmax), jnp.asarray(valid))
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(dense))
+
+
+def test_prox_chunking_bit_identical(monkeypatch):
+    """The round-5 row-chunked proximity pass (gvd/graph._PROX_CHUNK,
+    enabling for_grid node caps past the [N, N] memory wall) must be
+    bit-identical to the single-chunk formulation at an N that actually
+    chunks (4096 = 2 chunks of 2048). One orchard (CONFIGS[0]) keeps the
+    double N=4096 build affordable on CPU."""
+    import dataclasses
+
+    from aosx.gvd import graph as graphmod
+
+    spec, seed = CONFIGS[0]
+    xyz, poly = make_orchard_np(spec, seed=seed)
+    ores = op.perceive(xyz, poly)
+    skel, seeds, rows = _mk(ores)
+    params = params_as_f32(AosParams())
+    S4 = dataclasses.replace(S, max_nodes=4096, max_edges=8192)
+
+    def build():
+        return jax.jit(lambda se, ro, sk, pr: build_gvd_graph(
+            se, ro, sk, pr, S4))(seeds, rows, skel, params)
+
+    assert 4096 % graphmod._PROX_CHUNK == 0 and graphmod._PROX_CHUNK < 4096
+    g_chunked = build()
+    monkeypatch.setattr(graphmod, "_PROX_CHUNK", 4096)  # single chunk
+    g_single = build()
+    la = jax.tree_util.tree_leaves(g_chunked)
+    lb = jax.tree_util.tree_leaves(g_single)
+    for a, b in zip(la, lb):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -317,3 +317,26 @@ def test_tour_feasibility_predicts_completion(world):
         final = run(st0, bad)
         assert not bool(np.asarray(final.mission.exploration_completed))
         assert int(np.asarray(final.mission.target_wp)) == 2
+
+
+def test_tour_feasibility_dock_margin(world):
+    """dock_margin (VERDICT r4 weak #4): the predicate's ring is
+    docking_radius - dock_margin. Margin 0 = the stand-in follower's
+    contract (feasible on the healthy fixture); a margin >= docking_radius
+    leaves no ring at all (every leg infeasible); a negative margin widens
+    the ring and can only keep/add feasibility."""
+    w, params = world
+    cache = jax.jit(lambda w, p: plancache.build_plan_cache(w, p, S))(w, params)
+
+    def feas(margin):
+        return jax.jit(lambda c: plancache.tour_feasibility(
+            c, w.waypoints, params, S, dock_margin=margin))(cache)
+
+    base = feas(0.0)
+    assert bool(base["feasible"])
+    tight = feas(float(params.docking_radius) + 0.01)
+    assert not bool(tight["feasible"])
+    assert int(tight["bad_legs"]) >= int(base["bad_legs"])
+    wide = feas(-0.5)
+    assert bool(wide["feasible"])
+    assert int(wide["bad_legs"]) <= int(base["bad_legs"])
