@@ -23,9 +23,16 @@ vectorized parts here are faster than the C++ per-cell loops). Measured
 /root/scratch/baseline2.py. vs_baseline = baseline_ms / measured_ms.
 """
 
-REFERENCE_CPU_MS = 270591.0  # measured 2026-08-16, this machine
-# The measured comparator's O(E*M)/O(M^2) graph loops run in Python (262.9 of
-# 270.6 s). An optimized C++ port of those loops would land around 5-15 s
+# Measured by the COMMITTED comparator benchmarks/baseline_cpu.py
+# (2026-08-20, this machine, benchmarks/BASELINE_CPU.json: ror 0.6 +
+# perceive 5.9 + graph 125.6 + plan 0.0 s). Round 1-4 used 270591 ms from a
+# scratch script lost with /root/scratch; the committed re-measure is the
+# reproducible number of record (the delta is host-migration + comparator
+# vectorization differences — both are best-effort CPU implementations of
+# the same reference algorithms).
+REFERENCE_CPU_MS = 132150.0
+# The measured comparator's O(E*M)/O(M^2) graph loops run in Python (125.6
+# of 132.2 s). An optimized C++ port of those loops would land around 5-15 s
 # total (README.md "Baseline honesty"), so the JSON also carries the honest
 # estimated-C++ ratio range alongside the measured-Python one.
 HONEST_CPP_ESTIMATE_MS = (5000.0, 15000.0)

@@ -51,9 +51,9 @@ def main():
         polygon_pad=2.0,
     )
     pc, poly = make_orchard(jax.random.PRNGKey(0), spec, S)
-    n = int(np.asarray(pc.count))
-    xyz = np.asarray(pc.xyz, np.float64)[:n]
-    poly_np = np.asarray(poly.xy, np.float64)[: int(np.asarray(poly.count))]
+    keep_pc = np.asarray(pc.valid)
+    xyz = np.asarray(pc.xyz, np.float64)[keep_pc]
+    poly_np = np.asarray(poly.pts, np.float64)[: int(np.asarray(poly.count))]
     p = AosParams()
 
     stages = {}
