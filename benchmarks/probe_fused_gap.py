@@ -48,9 +48,12 @@ def main():
 
     from aosx import engine
     from aosx.config import BENCH_STATICS as S, AosParams, params_as_f32
-    from aosx.gvd import build_gvd_graph
+    from aosx.gvd.graph import (
+        assign_labels, build_edges, extract_vertices, find_labels,
+        merge_seeds,
+    )
+    from aosx.gvd.voronoi import jump_flood
     from aosx.orchards import OrchardSpec, make_orchard
-    from aosx.perceive import pipeline as _pipe
     from aosx.perceive import points as _points
     from aosx.perceive import raster as _raster
     from aosx.perceive import rows as _rows
@@ -58,6 +61,7 @@ def main():
     from aosx.perceive import skeleton as _skeleton
     from aosx.plan.astar import cost_matrix
     from aosx.plan.mission import build_waypoints, trim_distance_plane
+    from aosx.types import GvdGraph
 
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 7
 
@@ -75,9 +79,12 @@ def main():
 
     # ---- the fused step, with optional per-stage substitution -------------
     # feed maps stage name -> precomputed output pytree; stages are listed
-    # upstream-to-downstream and each variant feeds a PREFIX of them.
+    # upstream-to-downstream and each variant feeds a PREFIX of them. The
+    # g_* names telescope INSIDE the graph build (its 22.5 ms was the
+    # largest round-5 line, so it gets sub-attributed).
     STAGES = ["preprocess", "raster", "skeletonize", "cluster", "rows",
-              "seeds", "graph", "worldtail"]
+              "seeds", "g_merged", "g_owner", "g_verts", "g_edges",
+              "graph", "worldtail"]
 
     def fused(pc, poly, params, excl, feed):
         def get(name, compute):
@@ -98,8 +105,29 @@ def main():
         rows, rows_sorted = rowpair
         seeds = get("seeds", lambda: _seeds.generate_seeds(
             rows, skel, poly, params, S))
-        graph = get("graph", lambda: build_gvd_graph(
-            seeds, rows_sorted, skel, params, S))
+        if "graph" in feed:
+            graph = feed["graph"]
+        else:
+            # build_gvd_graph inlined so its internals can be fed too
+            merged = get("g_merged", lambda: merge_seeds(seeds, params, S))
+            owner = get("g_owner", lambda: jump_flood(skel, merged, S))
+            verts = get("g_verts", lambda: extract_vertices(skel, owner, S))
+            pos, owners, node_valid = verts
+            e6 = get("g_edges", lambda: build_edges(
+                pos, owners, node_valid, skel, merged, params, S))
+            ea, eb, ev, lengths, n_edges, edge_guards = e6
+            lp, lv, _ = find_labels(pos, node_valid, rows_sorted, skel,
+                                    params, S)
+            node_labels, label_node = assign_labels(pos, node_valid, lp, lv,
+                                                    params, S)
+            graph = GvdGraph(
+                nodes=pos, node_valid=node_valid, node_labels=node_labels,
+                label_node=label_node, edges=jnp.stack([ea, eb], axis=1),
+                edge_valid=ev, edge_lengths=lengths,
+                edge_clearances=jnp.zeros_like(lengths),
+                num_nodes=jnp.sum(node_valid.astype(jnp.int32)),
+                num_edges=n_edges, guards=edge_guards,
+            )
         wtail = get("worldtail", lambda: (
             cost_matrix(graph, S), build_waypoints(graph, params, S),
             trim_distance_plane(skel, S)))
@@ -125,11 +153,28 @@ def main():
         rows = _rows.rows_from_clusters(clusters, skel, poly, params, S)
         rows_sorted = _rows.sort_rows(rows)
         seeds = _seeds.generate_seeds(rows, skel, poly, params, S)
-        graph = build_gvd_graph(seeds, rows_sorted, skel, params, S)
+        merged = merge_seeds(seeds, params, S)
+        owner = jump_flood(skel, merged, S)
+        verts = extract_vertices(skel, owner, S)
+        pos, owners, node_valid = verts
+        e6 = build_edges(pos, owners, node_valid, skel, merged, params, S)
+        ea, eb, ev, lengths, n_edges, edge_guards = e6
+        lp, lv, _ = find_labels(pos, node_valid, rows_sorted, skel, params, S)
+        node_labels, label_node = assign_labels(pos, node_valid, lp, lv,
+                                                params, S)
+        graph = GvdGraph(
+            nodes=pos, node_valid=node_valid, node_labels=node_labels,
+            label_node=label_node, edges=jnp.stack([ea, eb], axis=1),
+            edge_valid=ev, edge_lengths=lengths,
+            edge_clearances=jnp.zeros_like(lengths),
+            num_nodes=jnp.sum(node_valid.astype(jnp.int32)),
+            num_edges=n_edges, guards=edge_guards,
+        )
         wtail = (cost_matrix(graph, S), build_waypoints(graph, params, S),
                  trim_distance_plane(skel, S))
         return dict(preprocess=pre, raster=inflated, skeletonize=skel,
                     cluster=clusters, rows=(rows, rows_sorted), seeds=seeds,
+                    g_merged=merged, g_owner=owner, g_verts=verts, g_edges=e6,
                     graph=graph, worldtail=wtail)
 
     t0 = time.time()
@@ -209,8 +254,11 @@ def main():
                 "first k stages as jit args (real downstream trip counts); "
                 "delta_k = T(k-1) - T(k) is the stage's cost inside the "
                 "FUSED program incl. its share of dispatch/fusion overhead. "
-                "Compare against STAGES.json (stage-local jits) to read the "
-                "fusion gap per stage.",
+                "g_merged/g_owner/g_verts/g_edges are graph-build internals "
+                "(seed merge, JFA ownership, vertex extraction, ridge+prox "
+                "edges); the 'graph' row is the REMAINING graph compute = "
+                "label find/assign. Compare against STAGES.json "
+                "(stage-local jits) to read the fusion gap per stage.",
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(art))
