@@ -232,7 +232,14 @@ class Statics:
             cluster_band=min(((long_side + 511) // 512) * 512,
                              65536 * area),
             crossing_nmax_long=512,
-            crossing_cap_edges_factor=48,
+            # packed-crossing slot budget = factor * max_edges. Candidate
+            # content keeps growing with area after max_edges caps at
+            # area 4, so the factor takes over: 48 measured sufficient
+            # through area 9 (6000x6144 guard-clean, GRID_CEILING.json);
+            # the 8000x8192 run (area 16) overflowed into the exact dense
+            # fallback at 48 — double the budget past area 12.
+            crossing_cap_edges_factor=48 * max(
+                1, -(-cells // (12 * 2000 * 2048))),
             jfa_pass_pallas=True,
         )
         base.update(overrides)

@@ -330,13 +330,14 @@ def main():
         ],
         "cpp_estimate_ms": list(HONEST_CPP_ESTIMATE_MS),
         "cpp_estimate_provenance": (
-            "BASELINE.md 'comparator provenance': measured 270.6 s "
-            "best-effort CPU reimplementation of the reference pipeline on "
-            "this box (benchmarks/baseline_cpu.py lineage; kd-tree ROR, "
-            "native C++ thinning/CCL, Subdiv2D) whose O(E*M)/O(M^2) graph "
-            "loops run in Python (262.9 s of it); 5-15 s is the engineering "
-            "estimate for an optimized C++ port of those loops. The "
-            "reference itself publishes no numbers (BASELINE.md)."
+            "BASELINE.md 'comparator provenance': measured 132.2 s by the "
+            "committed comparator benchmarks/baseline_cpu.py "
+            "(BASELINE_CPU.json; kd-tree ROR + the aosx.oracle "
+            "implementations of the reference algorithms) whose "
+            "O(E*M)/O(M^2) graph loops run in Python (125.6 s of it); "
+            "5-15 s is the engineering estimate for an optimized C++ port "
+            "of those loops. The reference itself publishes no numbers "
+            "(BASELINE.md)."
         ),
     }
     # persist the headline so it lives in git, not /tmp (VERDICT r3 #1):
