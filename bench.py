@@ -153,7 +153,7 @@ def _attach_secondary_metrics(result):
         (["SUSTAINED_CACHED.json", "SUSTAINED_CACHED_256.json",
           "SUSTAINED_CACHED_512.json", "SUSTAINED_CACHED_1024.json",
           "SUSTAINED_CACHED_2048.json", "SUSTAINED_CACHED_1024_CS300.json",
-          "SUSTAINED_CACHED_4096.json"],
+          "SUSTAINED_CACHED_4096.json", "SUSTAINED_CACHED_8192.json"],
          "mc_sustained_plan_cached_rollouts_per_sec_per_chip"),
     ):
         best, worst_rate = None, None
