@@ -340,3 +340,49 @@ def test_tour_feasibility_dock_margin(world):
     wide = feas(-0.5)
     assert bool(wide["feasible"])
     assert int(wide["bad_legs"]) <= int(base["bad_legs"])
+
+
+def test_rebuild_parks_at_live_row_when_plan_identical(world):
+    """ADVICE r4 #1: serving's rebuild must park adoption at the LIVE row
+    (not the carry row) exactly when the rebuilt live plan is bitwise
+    identical to the carried one — mirroring engine.step's content-changed
+    follower reset. This unit-tests the gate (rows_bitwise_equal) on the
+    same IN-JIT sequence serve_map_frame's rebuild closure runs (eager
+    execution of pin_live_row is ulp-different from the jitted build —
+    fusion/FMA — so the whole sequence must live in one jit, as it does in
+    production)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    w, params = world
+    # mid-tour mission config: target 1, prev 0
+    mission = dataclasses.replace(
+        plancache.MissionState.initial(),
+        initial_reached=jnp.bool_(True), target_wp=jnp.int32(1),
+        prev_wp=jnp.int32(0),
+    )
+    live = int(plancache.cache_row_index(mission, S))
+    carry = plancache.num_rows(S)
+
+    @jax.jit
+    def rebuild(w, params, adopted):
+        old = plancache.add_carry_row(
+            plancache.build_plan_cache(w, params, S), S)
+        fresh = plancache.add_carry_row(
+            plancache.build_plan_cache(w, params, S), S)
+        fresh = plancache.carry_adopted_row(fresh, old, adopted)
+        fresh = plancache.pin_live_row(fresh, w, mission, w.waypoints,
+                                       params, S)
+        same = plancache.rows_bitwise_equal(fresh, carry, live)
+        # a rebuild that changes the live plan must park at the carry row
+        doctored = dataclasses.replace(
+            fresh, plan_count=fresh.plan_count.at[live].add(-1))
+        same_doc = plancache.rows_bitwise_equal(doctored, carry, live)
+        return same, same_doc
+
+    same, same_doc = rebuild(w, params, jnp.int32(live))
+    # identical world -> rebuilt live plan bitwise equals the carried one
+    # -> serving parks at the live row (no spurious follower reset)
+    assert bool(same)
+    assert not bool(same_doc)
