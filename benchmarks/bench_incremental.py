@@ -131,9 +131,17 @@ def main():
     print(f"# base={int(base_valid.sum())} densify(+{ndup}) "
           f"grow(+{n_drop}) of {n_valid} points", file=sys.stderr)
 
+    # host_jit, NOT jax.jit: perceive_update's top-level lax.cond gate
+    # retains runtime jaxpr consts, and jax 0.9.0's C++ fast path drops
+    # them on the 2nd+ call — on axon that surfaces as a bare
+    # INVALID_ARGUMENT at the level fetch (CLAUDE.md round-4 rule: every
+    # host-loop probe wraps its repeated callables in serving.host_jit;
+    # this script predated the rule and hit exactly that in round 5)
+    from aosx.serving import host_jit
+
     init = jax.jit(lambda pc: incremental.perceive_init(
         pc, poly, params, excl, S, ror_method="sorted"))
-    upd = jax.jit(lambda st, pc: incremental.perceive_update(
+    upd = host_jit(lambda st, pc: incremental.perceive_update(
         st, pc, poly, params, excl, S, ror_method="sorted"))
 
     t0 = time.time()
@@ -141,17 +149,24 @@ def main():
     float(np.asarray(st.world.guards))  # sync
     print(f"# init compiled+ran ({time.time() - t0:.0f}s)", file=sys.stderr)
 
-    @jax.jit
-    def trivial(x):
-        return (x * 2 + 1).sum()
+    # The floor must pay the SAME dispatch path as the measured call:
+    # host_jit forces Python dispatch (the repeat-dispatch bug fix above),
+    # which costs ~10+ ms of host time flattening the large PerceiveState
+    # carry — a plain trivial-jit floor (C++ fast path, one tiny arg) would
+    # under-subtract and report that host overhead as device time (seen in
+    # the first round-5 re-measure: noop "device" 15.9 ms vs 1.3 real).
+    # ...and return the full carry too: upd's Python-dispatch cost includes
+    # adopting the ~50-leaf output tree, which a scalar-returning floor
+    # misses (~7 ms at this tree size).
+    floor_fn = host_jit(lambda st, pc: (
+        st, st.world.guards + jnp.sum(pc.valid.astype(jnp.int32))))
 
     def floor_ms(reps=7):
-        x = jnp.arange(128, dtype=jnp.float32)
-        float(trivial(x))
+        float(np.asarray(floor_fn(st, pc_base)[1]))
         ts = []
         for _ in range(reps):
             t = time.perf_counter()
-            float(trivial(x))
+            float(np.asarray(floor_fn(st, pc_base)[1]))
             ts.append((time.perf_counter() - t) * 1e3)
         return float(np.median(ts))
 
