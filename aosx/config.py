@@ -212,25 +212,40 @@ class Statics:
         (remote Mosaic compile-helper crash, CLAUDE.md round-4 note).
         """
         cells = grid_h * grid_w
-        area = max(1, -(-cells // (2000 * 2048)))          # ceil ratio
+        area = max(1, -(-cells // (2000 * 2048)))          # ceil ratio, CELLS
         long_side = max(grid_h, grid_w)
-        linear = max(1, -(-long_side // 2048))
-        max_rows = max(32, 16 * linear)
+        # CELL-denominated caps (skeleton cells, nodes, edges, the banded
+        # cluster length) scale with cell counts; METER-denominated caps
+        # (plan points at the fixed 5 cm linearize spacing, A* path nodes
+        # at ~0.5 m boundary-point spacing, rows at ~5-9 m spacing) scale
+        # with PHYSICAL extent = cells * resolution — at a coarser
+        # resolution the same cell grid describes a bigger field and needs
+        # proportionally bigger plan buffers (round-5 review finding; the
+        # calibration point is 2048 cells * 0.05 m = 102.4 m).
+        meters_long = long_side * resolution
+        meters_h = grid_h * resolution
+        mlinear = max(1, -(-int(meters_long * 10) // 1024))   # ceil /102.4 m
+        max_rows = max(32, 16 * max(1, -(-int(meters_h * 10) // 1024)))
         base = dict(
             grid_h=grid_h, grid_w=grid_w, resolution=resolution,
             max_points=min(131072 * area, 1048576),
             max_skel_cells=65536 * area,
             max_rows=max_rows,
+            # virtual seeds sit at 1 m intervals along a row: 512 covers
+            # rows to 512 m, beyond every field this preset targets
             max_seeds_per_row=512,
             max_seeds=4096 * min(area, 4),
+            # clusters: dropout-fragmented skeletons shatter into many
+            # components; scale with area (cheap [K] buffers) and guard
+            # overflow (GUARD_CLUSTER_CAP)
+            max_clusters=min(64 * area, 1024),
             max_nodes=min(8192 * area, 32768),
             max_edges=min(32768 * area, 131072),
             max_labels=8 * max_rows,
             max_waypoints=2 * max_rows + 4,
-            max_path=768 * linear,
-            max_plan=4096 * linear,
-            cluster_band=min(((long_side + 511) // 512) * 512,
-                             65536 * area),
+            max_path=768 * mlinear,
+            max_plan=4096 * mlinear,
+            cluster_band=min(_round_up(long_side, 512), 65536 * area),
             crossing_nmax_long=512,
             # packed-crossing slot budget = factor * max_edges. Candidate
             # content keeps growing with area after max_edges caps at

@@ -309,8 +309,14 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
         + jnp.sum((~jnp.isfinite(raw_path.xy)).astype(jnp.int32))
         + jnp.sum((~jnp.isfinite(ctrl.goal_xy)).astype(jnp.int32))
     )
-    from .guards import GUARD_NONFINITE
+    from .guards import GUARD_NONFINITE, GUARD_PLAN_CAP
 
+    # a /plan that FILLS max_plan was almost certainly truncated by
+    # linearize's fixed buffer (it caps ocount at the buffer size with no
+    # in-function signal) — a short plan ends before the docking ring and
+    # stalls the mission with no other flag. Conservative: a plan exactly
+    # at capacity is flagged even if nothing was dropped.
+    plan_capped = plan_path.count >= jnp.int32(s.max_plan)
     metrics = dict(
         xy=robot.xy,
         yaw=robot.yaw,
@@ -323,7 +329,8 @@ def step(state: EngineState, world: World, params: AosParams, s: Statics,
         plan_len=plan_path.count,
         nonfinite=nonfinite,
         guards=world.guards
-        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0),
+        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0)
+        | jnp.where(plan_capped, jnp.int32(GUARD_PLAN_CAP), 0),
     )
     return new_state, metrics
 

@@ -19,6 +19,8 @@ GUARD_CCL_CELL_FALLBACK = 64  # run-level CCL overflowed -> cell-level path
 GUARD_NONFINITE = 128     # NaN/Inf leaked into a published tick output
 GUARD_RIDGE_COMPACT = 256  # ridge candidate compaction overflowed (fast mode)
 GUARD_DEGREE_CAP = 512    # a node exceeded max_degree; CSR edges dropped
+GUARD_CLUSTER_CAP = 1024  # skeleton components exceed max_clusters (dropped)
+GUARD_PLAN_CAP = 2048     # published /plan filled max_plan (likely truncated)
 
 _NAMES = {
     GUARD_ROR_SPAN: "ror_sorted_block_span",
@@ -31,6 +33,8 @@ _NAMES = {
     GUARD_NONFINITE: "nonfinite_tick_output",
     GUARD_RIDGE_COMPACT: "ridge_candidate_compaction_overflow",
     GUARD_DEGREE_CAP: "astar_degree_capped",
+    GUARD_CLUSTER_CAP: "cluster_count_capped",
+    GUARD_PLAN_CAP: "plan_buffer_filled",
 }
 
 

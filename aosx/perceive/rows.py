@@ -318,9 +318,11 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # within +-1 block of each other for clusters <= B cells (a 409 m
     # skeleton row at 0.1 m res; full-pairwise fallback only if B >= M).
     cell_cid = jnp.where(cell_ok, jnp.minimum(seg, K), K)
+    from ..config import _round_up
+
     B = s.cluster_band if s.cluster_band else min(4096, M)
     if B > 512:  # the row-chunk scan below requires B % C == 0 (C = 512)
-        B = ((B + 511) // 512) * 512
+        B = _round_up(B, 512)
     nblk = (M + B - 1) // B
     Mp = nblk * B
     sorder = jnp.argsort(cell_cid, stable=True)
@@ -372,6 +374,7 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     # get under-estimated lengths
     from ..guards import (
         GUARD_CCL_CELL_FALLBACK,
+        GUARD_CLUSTER_CAP,
         GUARD_CLUSTER_LEN,
         GUARD_SKEL_OVERFLOW,
     )
@@ -387,6 +390,10 @@ def cluster_grid(skel: GridWorld, poly: Polygon, params: AosParams, s: Statics):
     guards |= jnp.where((B < M) & jnp.any(count > B),
                         jnp.int32(GUARD_CLUSTER_LEN), 0)
     guards |= jnp.where(uf_overflow, jnp.int32(GUARD_CCL_CELL_FALLBACK), 0)
+    # components beyond max_clusters are silently dropped from the tour —
+    # whole tree rows would vanish with no flag (round-5 review finding on
+    # dropout-fragmented giant maps); detect, don't trust
+    guards |= jnp.where(n_clusters > K, jnp.int32(GUARD_CLUSTER_CAP), 0)
 
     return dict(
         guards=guards,

@@ -459,7 +459,7 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
     (control mode, mission arrival/docking, plan adoption) is computed
     from that measured pose exactly as from a simulated one."""
     from ..engine import _move_robot
-    from ..guards import GUARD_NONFINITE
+    from ..guards import GUARD_NONFINITE, GUARD_PLAN_CAP
 
     # 1. control tick on the currently-published /plan
     ctrl = _on_path_cached(state.control, cache, state.adopted)
@@ -546,7 +546,12 @@ def step_cached(state: CachedEngineState, lite: WorldLite, cache: PlanCache,
         plan_len=plan_count,
         nonfinite=nonfinite,
         guards=lite.guards
-        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0),
+        | jnp.where(nonfinite > 0, jnp.int32(GUARD_NONFINITE), 0)
+        # same conservative truncation flag as engine.step (its comment):
+        # identical formula on identical plan content keeps the episodes
+        # bit-identical
+        | jnp.where(plan_count >= jnp.int32(s.max_plan),
+                    jnp.int32(GUARD_PLAN_CAP), 0),
     )
     if external_pose:
         # serving export: hand the already-selected plan to the caller so

@@ -24,12 +24,15 @@ def test_for_grid_invariants():
         assert s.cluster_band % 512 == 0
         assert s.cluster_band >= min(max(H, W), s.max_skel_cells)
         # monotone content scaling: caps never shrink below the 2000-scale
-        # calibration point
+        # calibration point (strict compare — an earlier draft wrote the
+        # tautology `s.f >= min(b.f, s.f)`, caught in round-5 review)
         b = Statics.for_grid(2000, 2048, resolution=0.05)
         for f in ("max_points", "max_skel_cells", "max_seeds", "max_nodes",
-                  "max_edges", "max_path", "max_plan", "max_waypoints"):
-            assert getattr(s, f) >= min(getattr(b, f),
-                                        getattr(s, f)), f
+                  "max_edges", "max_path", "max_plan", "max_waypoints",
+                  "max_clusters", "max_rows"):
+            assert getattr(s, f) >= getattr(b, f), f
+        # rows are realizable: each row needs a cluster
+        assert s.max_clusters >= s.max_rows
 
 
 def test_for_grid_calibration_point_covers_bench():
@@ -39,6 +42,21 @@ def test_for_grid_calibration_point_covers_bench():
     for f in ("max_points", "max_skel_cells", "max_seeds",
               "max_nodes", "max_edges", "max_path", "max_plan"):
         assert getattr(s, f) >= getattr(BENCH_STATICS, f), f
+
+
+def test_for_grid_meter_caps_scale_with_resolution():
+    """Meter-denominated caps (plan points at fixed 5 cm spacing, path
+    nodes, rows) follow PHYSICAL extent = cells * resolution, not cell
+    counts (round-5 review: a 0.1 m-res grid describes a 2x bigger field
+    than the same cells at 0.05 m and needs 2x the plan buffer)."""
+    fine = Statics.for_grid(4000, 4096, resolution=0.05)    # 200 m
+    coarse = Statics.for_grid(4000, 4096, resolution=0.1)   # 400 m
+    assert coarse.max_plan >= 2 * fine.max_plan
+    assert coarse.max_path >= 2 * fine.max_path
+    assert coarse.max_rows >= 2 * fine.max_rows
+    # cell-denominated caps are resolution-independent
+    for f in ("max_skel_cells", "max_nodes", "max_edges", "cluster_band"):
+        assert getattr(coarse, f) == getattr(fine, f), f
 
 
 def test_for_grid_overrides():
