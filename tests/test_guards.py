@@ -207,3 +207,73 @@ def test_ridge_compact_overflow_guard_and_fallback():
     assert int(fast[5]) & GUARD_RIDGE_COMPACT
     # the fallback saw all 6N candidates; the fast path dropped half
     assert int(exact[4]) >= int(fast[4])
+
+
+def test_cluster_cap_overflow_guard():
+    """More skeleton components than max_clusters must set
+    GUARD_CLUSTER_CAP: components beyond the cap are dropped from the tour
+    (whole tree rows would vanish silently on dropout-fragmented giant
+    maps otherwise — round-5 review finding)."""
+    from aosx.guards import GUARD_CLUSTER_CAP
+    from aosx.perceive.rows import cluster_grid
+    from aosx.types import Polygon
+
+    params = params_as_f32(AosParams())
+    poly = Polygon(pts=jnp.zeros((S.max_poly, 2), jnp.float32),
+                   count=jnp.int32(0))
+    run = jax.jit(lambda g: cluster_grid(g, poly, params, S))
+
+    def grid_with(n):
+        occ = np.zeros((S.grid_h, S.grid_w), np.uint8)
+        occ[8 + 8 * np.arange(n), 8] = 1   # isolated 1-cell components
+        return GridWorld(
+            occ=jnp.asarray(occ),
+            origin_x=jnp.float32(0.0), origin_y=jnp.float32(0.0),
+            h_cells=jnp.int32(S.grid_h), w_cells=jnp.int32(S.grid_w),
+        )
+
+    ok = run(grid_with(S.max_clusters))        # exactly K components: clean
+    over = run(grid_with(S.max_clusters + 4))  # K+4: flagged
+    assert not (int(ok["guards"]) & GUARD_CLUSTER_CAP)
+    assert int(over["guards"]) & GUARD_CLUSTER_CAP
+
+
+def test_plan_cap_guard():
+    """A published /plan that FILLS max_plan must be flagged GUARD_PLAN_CAP:
+    linearize caps its output at the buffer with no in-function signal, and
+    a truncated plan ends before the docking ring and stalls the mission
+    with no other flag. Clean-run control: the same episode under the
+    full-size buffer stays unflagged."""
+    import dataclasses
+
+    from aosx import engine
+    from aosx.guards import GUARD_PLAN_CAP
+    from aosx.orchards import OrchardSpec, make_orchard
+
+    spec = OrchardSpec(n_rows=2, row_len=4.0, row_spacing=2.0,
+                       tree_spacing=1.0, trunk_pts=10, noise_pts=16,
+                       origin=(2.0, 2.0), polygon_pad=1.0)
+    pc, poly = make_orchard(jax.random.PRNGKey(0), spec, S)
+    excl = jnp.zeros((S.max_exclusions, 3), jnp.float32)
+    # huge arrival radius -> the tour starts immediately and a plan is
+    # published within the first few ticks
+    p = params_as_f32(
+        dataclasses.replace(AosParams(), initial_arrive_dist=100.0))
+
+    out = {}
+    for Q in (S.max_plan, 8):
+        S2 = dataclasses.replace(S, max_plan=Q)
+        world = jax.jit(
+            lambda pc, poly, pr, ex: engine.prepare_world(
+                pc, poly, pr, ex, S2, ror_method="exact")
+        )(pc, poly, p, excl)
+        st = engine.initial_state(world, S2)
+        step = jax.jit(lambda st, w, pr: engine.step(st, w, pr, S2))
+        m = None
+        for _ in range(3):
+            st, m = step(st, world, p)
+        out[Q] = m
+    assert int(out[S.max_plan]["plan_len"]) < S.max_plan
+    assert not (int(out[S.max_plan]["guards"]) & GUARD_PLAN_CAP)
+    assert int(out[8]["plan_len"]) == 8
+    assert int(out[8]["guards"]) & GUARD_PLAN_CAP
